@@ -1,0 +1,50 @@
+"""Test harness configuration.
+
+By default tests run on a virtual 8-device CPU mesh so that the multi-chip
+sharding/halo-exchange paths are exercised without TPU hardware (the same
+technique the driver's ``dryrun_multichip`` uses).  Set
+``CANNY_TPU_TEST_PLATFORM=tpu`` to run the identical suite on real TPU chips.
+"""
+
+import os
+
+if os.environ.get("CANNY_TPU_TEST_PLATFORM", "cpu") == "cpu":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_TEST_IMAGE = "/root/reference/tests/test.jpg"
+
+
+@pytest.fixture(scope="session")
+def test_image() -> np.ndarray:
+    """256x256 grayscale test image.
+
+    Prefers the reference repo's ``tests/test.jpg`` loaded exactly as the
+    reference does (cv2 IMREAD_GRAYSCALE, tests/utils/test_utils.cpp:48-49);
+    falls back to a deterministic synthetic image of the same shape.
+    """
+    if os.path.exists(REFERENCE_TEST_IMAGE):
+        import cv2
+
+        img = cv2.imread(REFERENCE_TEST_IMAGE, cv2.IMREAD_GRAYSCALE)
+        assert img is not None and img.shape == (256, 256)
+        return img.astype(np.uint8)
+    return synthetic_image(256, 256)
+
+
+def synthetic_image(h: int, w: int, seed: int = 0) -> np.ndarray:
+    """Deterministic structured test image: gradients, discs, noise."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = 96 + 64 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+    img += 80 * (((xx - w / 2) ** 2 + (yy - h / 2) ** 2) < (min(h, w) / 3) ** 2)
+    img += 40 * ((xx + yy) % 97 < 31)
+    img += rng.normal(0, 6, size=(h, w))
+    return np.clip(img, 0, 255).astype(np.uint8)
