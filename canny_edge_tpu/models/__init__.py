@@ -1,0 +1,1 @@
+from .canny import CannyTPU, canny_fn, canny_with_intermediates  # noqa: F401

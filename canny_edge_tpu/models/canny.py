@@ -1,0 +1,119 @@
+"""Single-chip Canny pipeline model (the TPU equivalent of the reference's
+``canny()`` orchestrator, src/utils.cpp:429-492, and ``cuda_canny()``,
+src/cuda.cu:392-450).
+
+Unlike the reference's GPU path — which round-trips every stage through host
+memory (src/cuda.cu:96,229) and runs hysteresis on the CPU (src/cuda.cu:436)
+— the whole four-stage pipeline here is one jit-compiled XLA program: the
+image is transferred to HBM once, all stages fuse on-device (including the
+hysteresis fixed point inside a lax.while_loop), and the binary edge map is
+transferred back once.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..golden.reference import gaussian_kernel
+from ..ops import stages
+
+
+def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
+             backend: str = "xla"):
+    """Traceable full pipeline: uint8 (..., H, W) -> int16 {0,255}.
+
+    ``kernel_vals``: static tuple of float32 Gaussian weights (host-computed
+    by golden.gaussian_kernel so TPU and oracle share identical weights).
+    ``backend``: "xla" (pure jnp ops) or "pallas" (fused Pallas kernels).
+    """
+    if backend == "pallas":
+        from ..kernels import fused as pallas_fused
+
+        return pallas_fused.canny_fused(
+            img, min_val, max_val, kernel_vals=kernel_vals,
+            hysteresis_steps=hysteresis_steps)
+    smoothed = stages._gaussian_blur_with_kernel(img, kernel_vals)
+    mag, ang = stages.sobel(smoothed)
+    nm = stages.nonmax_suppression(mag, ang)
+    return stages.hysteresis(nm, min_val, max_val, hysteresis_steps)
+
+
+def canny_with_intermediates(img, min_val, max_val, *, kernel_vals,
+                             hysteresis_steps=4):
+    """Pipeline returning per-stage intermediates (the ``-s`` equivalent)."""
+    smoothed = stages._gaussian_blur_with_kernel(img, kernel_vals)
+    mag, ang = stages.sobel(smoothed)
+    nm = stages.nonmax_suppression(mag, ang)
+    out = stages.hysteresis(nm, min_val, max_val, hysteresis_steps)
+    return out, {
+        "smoothed": smoothed,
+        "magnitude": mag.astype(jnp.int16),
+        "angle": ang,
+        "nonmax": nm.astype(jnp.int16),
+    }
+
+
+@dataclass
+class CannyTPU:
+    """Flagship single-chip model: compiled Canny edge detector.
+
+    Example::
+
+        model = CannyTPU(sigma=1.0)
+        edges = model(img_u8, 50, 150)           # (H, W) int16 {0,255}
+        edges = model.batch(frames_u8, 50, 150)  # (B, H, W)
+
+    sigma is static (determines the blur window / compiled stencil);
+    min_val/max_val are traced, so retuning thresholds does not recompile.
+    """
+
+    sigma: float = 1.0
+    hysteresis_steps: int = 4
+    backend: str = "xla"
+    kernel: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        self.kernel = gaussian_kernel(self.sigma)
+        kernel_vals = tuple(float(v) for v in self.kernel)
+        base = functools.partial(
+            canny_fn, kernel_vals=kernel_vals,
+            hysteresis_steps=self.hysteresis_steps, backend=self.backend)
+        self._single = jax.jit(base)
+        self._batched = jax.jit(jax.vmap(base, in_axes=(0, None, None)))
+        self._intermediates = jax.jit(functools.partial(
+            canny_with_intermediates, kernel_vals=kernel_vals,
+            hysteresis_steps=self.hysteresis_steps))
+
+    @property
+    def window(self) -> int:
+        return int(self.kernel.shape[0])
+
+    def __call__(self, img, min_val: int, max_val: int):
+        self._validate(img, min_val, max_val)
+        return self._single(img, jnp.int32(min_val), jnp.int32(max_val))
+
+    def batch(self, imgs, min_val: int, max_val: int):
+        assert imgs.ndim == 3, "batch expects (B, H, W)"
+        self._validate(imgs[0], min_val, max_val)
+        return self._batched(imgs, jnp.int32(min_val), jnp.int32(max_val))
+
+    def with_intermediates(self, img, min_val: int, max_val: int):
+        self._validate(img, min_val, max_val)
+        return self._intermediates(img, jnp.int32(min_val), jnp.int32(max_val))
+
+    @staticmethod
+    def _validate(img, min_val, max_val):
+        # mirrors the reference CLI validation (src/main.cpp:63-76)
+        if max_val <= min_val:
+            raise ValueError("minVal must be less than maxVal")
+        if not (0 <= min_val <= 255):
+            raise ValueError("minVal must be in the range of [0,255]")
+        if not (0 <= max_val <= 255):
+            raise ValueError("maxVal must be in the range of [0,255]")
+        if img.dtype != np.uint8 and img.dtype != jnp.uint8:
+            raise TypeError("input image must be uint8 grayscale")

@@ -1,0 +1,225 @@
+"""Exact scalar numerics on TPU.
+
+TPU VPU float32 division and sqrt are *not* correctly rounded (measured up to
+2 ulp error on hardware), while the reference CPU pipeline's semantics
+(src/utils.cpp) are defined by IEEE-754 float32/double arithmetic.  This
+module provides bit-exact primitives built from integer ops (which are exact
+on TPU):
+
+* :func:`exact_div_f32` — correctly rounded (round-to-nearest-even) float32
+  division for the blur's border renormalization (src/utils.cpp:47,62).
+* :func:`isqrt_int32` — exact integer sqrt for the gradient magnitude
+  ``(int)sqrt(gx^2+gy^2)`` (src/utils.cpp:212).
+* :func:`quantize_angle_int` — exact integer-predicate angle binning
+  replacing the reference's atan2-degrees chain (src/utils.cpp:215-231);
+  see golden.reference.quantize_angle for the equivalence proof.
+
+All functions are shape-polymorphic elementwise jnp ops, usable under jit,
+vmap, shard_map, and inside Pallas kernel bodies.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MANT_MASK = jnp.int32(0x7FFFFF)
+_HIDDEN = jnp.int32(0x800000)
+
+
+def _decompose(x):
+    """Split positive normal float32 into (mantissa in [2^23,2^24), exponent).
+
+    value = m * 2^(e - 150).
+    """
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    e = jax.lax.shift_right_logical(bits, 23) & jnp.int32(0xFF)
+    m = (bits & _MANT_MASK) | _HIDDEN
+    return m, e
+
+
+def _approx_recip(b):
+    """~1/b via the bit-trick seed + 3 Newton steps (mult/sub only).
+
+    float32 division on the TPU backend in this environment has a pathological
+    one-time compile cost (~3 min per process), so the exact divider seeds
+    from a division-free reciprocal instead: magic-constant exponent flip
+    (max ~4% relative error) refined by Newton y <- y*(2 - b*y), giving a
+    reciprocal within ~2 ulp.
+    """
+    bits = jax.lax.bitcast_convert_type(b, jnp.int32)
+    y = jax.lax.bitcast_convert_type(jnp.int32(0x7EF127EA) - bits, jnp.float32)
+    for _ in range(3):
+        y = y * (jnp.float32(2.0) - b * y)
+    return y
+
+
+def exact_div_f32(a, b):
+    """Correctly rounded float32 ``a / b`` for ``a >= 0``, ``b`` positive
+    normal.  Matches IEEE-754 round-to-nearest-even exactly (i.e. matches
+    NumPy / x86 / XLA:CPU division bit for bit) — without emitting any
+    hardware float division.
+
+    Method: seed q = a * approx(1/b) (within a few ulp of a/b), then correct
+    it using the *exact* integer residual.  With a = ma*2^(ea-150),
+    b = mb*2^(eb-150), q = mq*2^(eq-150):
+
+        a - q*b = 2^(eq+eb-300) * (ma*2^D - mq*mb),   D = ea - eq - eb + 150
+
+    Since q is within a few ulp of a/b, the scaled residual
+    R = ma*2^D - mq*mb satisfies |R| <= ~6*mb < 2^28, so R is computed
+    exactly in *wrapping* int32 arithmetic (the true value fits in int32, so
+    the low 32 bits of both terms suffice; XLA integer ops are two's
+    complement).  q is correctly rounded iff
+
+        2*|R| < mb                           (strictly inside half-ulp), or
+        2*|R| == mb and mq is even           (tie -> even), with the
+        half-spacing below halved when mq == 2^23 (binade boundary).
+
+    Otherwise move q one ulp toward the true quotient (integer increment on
+    the bit pattern, which handles binade crossings automatically) and
+    re-check.  Seed error is <= ~5 ulp, each failed check moves exactly one
+    ulp toward the correctly rounded result, so 8 iterations give margin
+    (iterations are idempotent once correct).
+    """
+    a = a.astype(jnp.float32) if hasattr(a, "astype") else jnp.float32(a)
+    b = jnp.broadcast_to(jnp.asarray(b, jnp.float32), jnp.shape(a))
+    q = a * _approx_recip(b)
+    ma, ea = _decompose(a)
+    mb, eb = _decompose(b)
+
+    def fix_once(q):
+        iq = jax.lax.bitcast_convert_type(q, jnp.int32)
+        eq = jax.lax.shift_right_logical(iq, 23) & jnp.int32(0xFF)
+        mq = (iq & _MANT_MASK) | _HIDDEN
+        d = ea - eq - eb + jnp.int32(150)
+        d = jnp.clip(d, 0, 31)
+        r = jax.lax.shift_left(ma, d) - mq * mb  # exact (see docstring)
+        two_r = jnp.abs(r) * jnp.int32(2)
+        at_binade = mq == _HIDDEN
+        # acceptance threshold: mb above / at-or-below depending on side
+        ok_above = (two_r < mb) | ((two_r == mb) & (mq % 2 == 0))
+        ok_below = jnp.where(at_binade, two_r * 2 <= mb, ok_above)
+        ok = jnp.where(r >= 0, ok_above, ok_below)
+        step = jnp.where(r > 0, jnp.int32(1), jnp.int32(-1))
+        iq_new = jnp.where(ok | (r == 0), iq, iq + step)
+        return jax.lax.bitcast_convert_type(iq_new, jnp.float32)
+
+    for _ in range(8):
+        q = fix_once(q)
+    return jnp.where(a == 0, jnp.float32(0), q)
+
+
+def exact_mul_const_f32(x, w: float):
+    """Bit-exact ``round_f32(x * w)`` for nonneg f32 ``x`` and positive
+    host-constant ``w`` — immune to compiler FMA contraction.
+
+    Compilers (XLA:CPU's LLVM backend in particular) may contract a
+    ``mul`` feeding an ``add`` into an FMA, skipping the product's own
+    f32 rounding and silently changing accumulation chains at the LSB.
+    This helper performs the product's rounding *explicitly in integer
+    arithmetic*, so downstream contraction becomes harmless: with
+    x = mx*2^(ex-150) and w = mw*2^(ew-150),
+
+        x*w = (mx*mw) * 2^(ex+ew-300)
+
+    mx*mw is exact in int64 (<= 2^48); converting it to float32 is a
+    correctly rounded 48->24-bit rounding; multiplying by the exact
+    power of two 2^(ex+ew-300) (built by bit-assembling the exponent
+    field) is exact.  The result equals IEEE round-to-nearest-even of
+    x*w on every backend, and any later fma(p, 1.0-like, acc) contraction
+    sees an already-exact product.
+
+    Preconditions: x == 0 or x normal; the product must stay in the
+    normal range (true for the blur's domain: x in {0} U [~1e-4, 256),
+    w in [~1e-4, 1]).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    wbits = int(np.float32(w).view(np.int32))
+    ew = (wbits >> 23) & 0xFF
+    mw = (wbits & 0x7FFFFF) | 0x800000
+    wh = mw >> 12
+    wl = mw & 0xFFF
+
+    mx32, ex = _decompose(x)
+    mx = mx32.astype(jnp.uint32)
+    xh = mx >> 12
+    xl = mx & jnp.uint32(0xFFF)
+
+    # exact 48-bit product P = mx*mw via 12-bit limbs, held as
+    # (Phi = P >> 16, Plo = P & 0xFFFF) in uint32
+    A = xh * jnp.uint32(wh)                       # < 2^24
+    M = xh * jnp.uint32(wl) + xl * jnp.uint32(wh)  # < 2^25
+    C = xl * jnp.uint32(wl)                       # < 2^24
+    S = C + ((M & jnp.uint32(0xF)) << 12)         # < 2^24 + 2^16
+    Phi = (A << 8) + (M >> 4) + (S >> 16)
+    Plo = S & jnp.uint32(0xFFFF)
+
+    # round P (in [2^46, 2^48)) to a 24-bit mantissa, nearest-even
+    big = Phi >= jnp.uint32(0x80000000)           # P >= 2^47 -> drop 24 bits
+    m24 = jnp.where(big, Phi >> 8, Phi >> 7)
+    drop_hi = jnp.where(big, Phi & jnp.uint32(0xFF), Phi & jnp.uint32(0x7F))
+    dropped = (drop_hi << 16) | Plo               # <= 2^24
+    half = jnp.where(big, jnp.uint32(1 << 23), jnp.uint32(1 << 22))
+    round_up = (dropped > half) | ((dropped == half) & ((m24 & 1) == 1))
+    m24 = m24 + round_up.astype(jnp.uint32)       # 2^24 rolls into exponent
+
+    # value = m24 * 2^(ex+ew-300+shift); assemble float bits directly
+    # (int32 domain: ew - 150 may be negative; m24 < 2^24+1 fits)
+    shift = jnp.where(big, jnp.int32(24), jnp.int32(23))
+    ebits = ex + shift + jnp.int32(ew - 150)
+    bits = jax.lax.shift_left(ebits, 23) + m24.astype(jnp.int32) \
+        - jnp.int32(1 << 23)
+    out = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    return jnp.where(x == 0, jnp.float32(0), out)
+
+
+def isqrt_int32(n):
+    """Exact floor(sqrt(n)) for int32 ``0 <= n <= ~2.1e6``.
+
+    Equals the reference's ``(int)sqrt((double)n)`` (src/utils.cpp:212): for
+    n <= 2.1e6 a correctly rounded double sqrt truncates to the integer
+    sqrt exactly (see golden.reference.magnitude_int for the argument).
+
+    TPU float32 sqrt is within ~2 ulp, so the float candidate is within 1 of
+    the true isqrt; two integer comparison fixes make it exact.
+    """
+    n = n.astype(jnp.int32)
+    k = jnp.sqrt(n.astype(jnp.float32)).astype(jnp.int32)
+    k = jnp.where((k + 1) * (k + 1) <= n, k + 1, k)
+    k = jnp.where(k * k > n, k - 1, k)
+    return k
+
+
+def quantize_angle_int(gx, gy):
+    """Quantize gradient direction to {0, 45, 90, 135} exactly.
+
+    Integer-predicate binning of atan2(gy, gx) degrees into the reference's
+    bins with edges at 22.5 + k*45 (src/utils.cpp:220-231):
+
+      slope-low  (|gy/gx| < tan 22.5 = sqrt(2)-1):  ax > ay and 2 ay^2 < (ax-ay)^2
+      slope-high (|gy/gx| > tan 67.5 = sqrt(2)+1):  ay > ax and (ay-ax)^2 > 2 ax^2
+
+    Provably identical to the C++ float path for all integer gradients
+    reachable from uint8 images (|g| <= 1020); see
+    golden.reference.quantize_angle.  Requires |gx|,|gy| <= 32767 to avoid
+    int32 overflow in the squared terms.
+    """
+    gxi = gx.astype(jnp.int32)
+    gyi = gy.astype(jnp.int32)
+    ax = jnp.abs(gxi)
+    ay = jnp.abs(gyi)
+    low = (ax > ay) & (2 * ay * ay < (ax - ay) * (ax - ay))
+    high = (ay > ax) & ((ay - ax) * (ay - ax) > 2 * ax * ax)
+    mid = ~low & ~high
+    sign_prod = gxi * gyi
+    same = sign_prod > 0
+    opp = sign_prod < 0
+
+    out = jnp.zeros(jnp.shape(gxi), jnp.int16)
+    out = jnp.where((gxi == 0) & (gyi != 0), jnp.int16(90), out)
+    out = jnp.where(same & mid, jnp.int16(45), out)
+    out = jnp.where(opp & mid, jnp.int16(135), out)
+    out = jnp.where((same | opp) & high, jnp.int16(90), out)
+    return out

@@ -1,0 +1,295 @@
+"""Spatially partitioned Canny pipeline: shard_map over a ("data","y","x") mesh.
+
+The image batch is sharded (B/Pd, H/Py, W/Px) per device.  Every stage runs
+on the local block with ICI halo exchange supplying neighbor pixels, and
+*global-coordinate masks* applying the reference's image-border semantics
+(renormalized blur taps, clamped/dropped Sobel terms, never-suppressing NMS
+neighbors) only at the true image border — so the sharded pipeline is
+bit-exact against the single-chip path and the golden oracle for any mesh
+shape.
+
+Hysteresis becomes the distributed fixed point required by BASELINE.json:
+K local dilation steps per round on a K-wide halo, then a global
+``psum`` of the changed-pixel count as the convergence test.
+
+This is the TPU-native replacement for a multi-GPU decomposition the
+reference never had (it is single-GPU, single-frame; SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..golden.reference import gaussian_kernel
+from ..ops.numerics import (exact_div_f32, exact_mul_const_f32, isqrt_int32,
+                            quantize_angle_int)
+from .halo import halo_exchange_2d, halo_exchange_cols, halo_exchange_rows
+
+EDGE = 255
+NOEDGE = 0
+_NMS_OOB = -32768
+
+DATA_AXIS = "data"
+Y_AXIS = "y"
+X_AXIS = "x"
+
+
+# ---------------------------------------------------------------------------
+# mesh construction
+# ---------------------------------------------------------------------------
+
+def make_mesh(devices: Sequence[jax.Device] | None = None,
+              data: int | None = None, y: int | None = None,
+              x: int | None = None) -> Mesh:
+    """Build a ("data", "y", "x") mesh over the given devices.
+
+    With no explicit shape, factors the device count as evenly as possible
+    into a 2-D spatial grid with no data parallelism (the 4K-single-image
+    config); pass ``data=...`` for batch sharding.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None and y is None and x is None:
+        data = 1
+        y, x = _factor2(n)
+    data = data or 1
+    if y is None and x is None:
+        y, x = _factor2(n // data)
+    y = y or (n // (data * (x or 1)))
+    x = x or (n // (data * y))
+    if data * y * x != n:
+        raise ValueError(f"mesh {data}x{y}x{x} != {n} devices")
+    arr = np.asarray(devices).reshape(data, y, x)
+    return Mesh(arr, (DATA_AXIS, Y_AXIS, X_AXIS))
+
+
+def _factor2(n: int) -> tuple[int, int]:
+    """Factor n into the most-square (y, x) pair."""
+    best = (1, n)
+    for y in range(1, int(np.sqrt(n)) + 1):
+        if n % y == 0:
+            best = (y, n // y)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# local (per-shard) stage implementations with global-coordinate masks
+# ---------------------------------------------------------------------------
+
+def _global_offsets(hl: int, wl: int):
+    """(row0, col0) of this device's block in the global image."""
+    iy = lax.axis_index(Y_AXIS)
+    ix = lax.axis_index(X_AXIS)
+    return iy * hl, ix * wl
+
+
+def _blur_shard(img, kernel_vals, H: int, W: int):
+    """Sharded renormalized separable blur; bit-exact vs golden."""
+    kernel = np.asarray(kernel_vals, np.float32)
+    window = kernel.shape[0]
+    c = window // 2
+    hl, wl = img.shape[-2], img.shape[-1]
+    gr0, gc0 = _global_offsets(hl, wl)
+    x = img.astype(jnp.float32)
+
+    # x pass
+    xp = halo_exchange_cols(x, c, X_AXIS)          # (..., hl, wl + 2c)
+    gcol = gc0 + lax.broadcasted_iota(jnp.int32, (1, wl), 1)
+    acc = jnp.zeros(x.shape, jnp.float32)
+    cnt = jnp.zeros((1, wl), jnp.float32)
+    for t in range(window):
+        tap = xp[..., :, t:t + wl]
+        m = ((gcol + (t - c)) >= 0) & ((gcol + (t - c)) < W)
+        # beyond-global-border halo is zero-filled => tap*k adds +0.0 there,
+        # identical to the reference's skipped out-of-bounds taps
+        acc = acc + jnp.where(m, exact_mul_const_f32(tap, kernel[t]),
+                              jnp.float32(0.0))
+        cnt = cnt + jnp.where(m, jnp.float32(kernel[t]), jnp.float32(0.0))
+    temp = exact_div_f32(acc, jnp.broadcast_to(cnt, acc.shape))
+
+    # y pass
+    tp = halo_exchange_rows(temp, c, Y_AXIS)       # (..., hl + 2c, wl)
+    grow = gr0 + lax.broadcasted_iota(jnp.int32, (hl, 1), 0)
+    acc = jnp.zeros(x.shape, jnp.float32)
+    cnt = jnp.zeros((hl, 1), jnp.float32)
+    for t in range(window):
+        tap = tp[..., t:t + hl, :]
+        m = ((grow + (t - c)) >= 0) & ((grow + (t - c)) < H)
+        acc = acc + jnp.where(m, exact_mul_const_f32(tap, kernel[t]),
+                              jnp.float32(0.0))
+        cnt = cnt + jnp.where(m, jnp.float32(kernel[t]), jnp.float32(0.0))
+    out = exact_div_f32(acc, jnp.broadcast_to(cnt, acc.shape))
+    return out.astype(jnp.int16)
+
+
+def _sobel_shard(img, H: int, W: int):
+    """Sharded Sobel with reference border rules via coordinate masks."""
+    hl, wl = img.shape[-2], img.shape[-1]
+    gr0, gc0 = _global_offsets(hl, wl)
+    x = img.astype(jnp.int32)
+    xp = halo_exchange_2d(x, 1, Y_AXIS, X_AXIS)    # (..., hl+2, wl+2)
+
+    gcol = gc0 + lax.broadcasted_iota(jnp.int32, (1, wl), 1)
+    grow = gr0 + lax.broadcasted_iota(jnp.int32, (hl, 1), 0)
+
+    # gx: column-clamped horizontal difference, row terms dropped off-image
+    center_cols = xp[..., :, 1:-1]
+    xleft = jnp.where(gcol - 1 >= 0, xp[..., :, :-2], center_cols)
+    xright = jnp.where(gcol + 1 < W, xp[..., :, 2:], center_cols)
+    d = xright - xleft                              # (..., hl+2, wl)
+    gx = (2 * d[..., 1:-1, :]
+          + jnp.where(grow + 1 < H, d[..., 2:, :], 0)
+          + jnp.where(grow - 1 >= 0, d[..., :-2, :], 0))
+
+    # gy: row-clamped vertical difference (below - above), col terms dropped
+    center_rows = xp[..., 1:-1, :]
+    xup = jnp.where(grow - 1 >= 0, xp[..., :-2, :], center_rows)
+    xdn = jnp.where(grow + 1 < H, xp[..., 2:, :], center_rows)
+    e = xdn - xup                                   # (..., hl, wl+2)
+    gy = (2 * e[..., :, 1:-1]
+          + jnp.where(gcol + 1 < W, e[..., :, 2:], 0)
+          + jnp.where(gcol - 1 >= 0, e[..., :, :-2], 0))
+
+    mag = isqrt_int32(gx * gx + gy * gy)
+    ang = quantize_angle_int(gx, gy)
+    return mag, ang
+
+
+def _nms_shard(mag, ang, H: int, W: int):
+    hl, wl = mag.shape[-2], mag.shape[-1]
+    gr0, gc0 = _global_offsets(hl, wl)
+    m = mag.astype(jnp.int32)
+    mp = halo_exchange_2d(m, 1, Y_AXIS, X_AXIS)
+    gcol = gc0 + lax.broadcasted_iota(jnp.int32, (1, wl), 1)
+    grow = gr0 + lax.broadcasted_iota(jnp.int32, (hl, 1), 0)
+
+    def nb(dr, dc):
+        v = mp[..., 1 + dr:1 + dr + hl, 1 + dc:1 + dc + wl]
+        inb = ((grow + dr >= 0) & (grow + dr < H)
+               & (gcol + dc >= 0) & (gcol + dc < W))
+        return jnp.where(inb, v, jnp.int32(_NMS_OOB))
+
+    keep0 = (m > nb(0, -1)) & (m > nb(0, 1))
+    keep45 = (m > nb(-1, 1)) & (m > nb(1, -1))
+    keep90 = (m > nb(-1, 0)) & (m > nb(1, 0))
+    keep135 = (m > nb(-1, -1)) & (m > nb(1, 1))
+    keep = jnp.where(
+        ang == 0, keep0,
+        jnp.where(ang == 45, keep45, jnp.where(ang == 90, keep90, keep135)))
+    return jnp.where(keep, m, NOEDGE)
+
+
+def _hysteresis_shard(nm, min_val, max_val, steps_per_round: int = 8):
+    """Distributed fixed point: K-wide halo exchange + K local dilations per
+    round, terminated by a global psum of the changed count."""
+    k = steps_per_round
+    weak = nm >= min_val
+    strong = nm >= max_val
+    # weak mask is loop-invariant: exchange its halo once
+    wk = halo_exchange_2d(weak.astype(jnp.int8), k, Y_AXIS, X_AXIS) > 0
+
+    def round_fn(edges):
+        e = halo_exchange_2d(edges.astype(jnp.int8), k, Y_AXIS, X_AXIS) > 0
+        for _ in range(k):
+            grow = (e
+                    | jnp.pad(e[..., :, 1:], _pad_last(e.ndim, (0, 1)))
+                    | jnp.pad(e[..., :, :-1], _pad_last(e.ndim, (1, 0))))
+            grow = (grow
+                    | jnp.pad(grow[..., 1:, :], _pad_row(e.ndim, (0, 1)))
+                    | jnp.pad(grow[..., :-1, :], _pad_row(e.ndim, (1, 0))))
+            e = wk & grow
+        return e[..., k:-k, k:-k]
+
+    def body(state):
+        edges, _ = state
+        new = round_fn(edges)
+        changed_local = jnp.sum((new != edges).astype(jnp.int32))
+        changed = lax.psum(changed_local,
+                           (DATA_AXIS, Y_AXIS, X_AXIS)) > 0
+        return new, changed
+
+    edges, _ = lax.while_loop(lambda s: s[1], body,
+                              (strong, jnp.asarray(True)))
+    return jnp.where(edges, jnp.int16(EDGE), jnp.int16(NOEDGE))
+
+
+def _pad_last(ndim, lohi):
+    return [(0, 0)] * (ndim - 1) + [lohi]
+
+
+def _pad_row(ndim, lohi):
+    return [(0, 0)] * (ndim - 2) + [lohi, (0, 0)]
+
+
+# ---------------------------------------------------------------------------
+# the sharded pipeline
+# ---------------------------------------------------------------------------
+
+def _canny_shard(img, min_val, max_val, *, kernel_vals, H, W,
+                 hysteresis_steps):
+    smoothed = _blur_shard(img, kernel_vals, H, W)
+    mag, ang = _sobel_shard(smoothed, H, W)
+    nm = _nms_shard(mag, ang, H, W)
+    return _hysteresis_shard(nm, min_val, max_val, hysteresis_steps)
+
+
+class ShardedCanny:
+    """Batch-of-frames Canny over a ("data", "y", "x") device mesh.
+
+    Input: uint8 (B, H, W) with B % data == 0, H % y == 0, W % x == 0
+    (pad the batch/image if needed).  Output: int16 {0,255} (B, H, W),
+    sharded the same way.
+
+    Example::
+
+        mesh = make_mesh(y=2, x=4)          # 8 chips, 2x4 spatial grid
+        model = ShardedCanny(mesh, sigma=1.4, image_shape=(2160, 3840))
+        edges = model(batch_u8, 50, 150)
+    """
+
+    def __init__(self, mesh: Mesh, sigma: float, image_shape: tuple[int, int],
+                 hysteresis_steps: int = 8):
+        self.mesh = mesh
+        self.sigma = sigma
+        self.kernel = gaussian_kernel(sigma)
+        self.H, self.W = image_shape
+        ny = mesh.shape[Y_AXIS]
+        nx = mesh.shape[X_AXIS]
+        if self.H % ny or self.W % nx:
+            raise ValueError(
+                f"image {image_shape} not divisible by spatial mesh ({ny},{nx})")
+        c = len(self.kernel) // 2
+        if self.H // ny < max(c, hysteresis_steps) or \
+           self.W // nx < max(c, hysteresis_steps):
+            raise ValueError("shard smaller than halo width; use fewer devices"
+                             " or smaller sigma/hysteresis_steps")
+        kernel_vals = tuple(float(v) for v in self.kernel)
+
+        fn = functools.partial(
+            _canny_shard, kernel_vals=kernel_vals, H=self.H, W=self.W,
+            hysteresis_steps=hysteresis_steps)
+        spec = P(DATA_AXIS, Y_AXIS, X_AXIS)
+        mapped = jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(spec, P(), P()),
+            out_specs=spec,
+            check_vma=False,
+        )
+        self._fn = jax.jit(mapped)
+        self._in_sharding = NamedSharding(mesh, spec)
+
+    def shard_batch(self, imgs: np.ndarray):
+        """Place a host batch onto the mesh with the pipeline's sharding."""
+        return jax.device_put(imgs, self._in_sharding)
+
+    def __call__(self, imgs, min_val: int, max_val: int):
+        if imgs.ndim != 3:
+            raise ValueError("expected (B, H, W)")
+        return self._fn(imgs, jnp.int32(min_val), jnp.int32(max_val))

@@ -9,12 +9,18 @@ technique the driver's ``dryrun_multichip`` uses).  Set
 import os
 
 if os.environ.get("CANNY_TPU_TEST_PLATFORM", "cpu") == "cpu":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override any preset TPU platform
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # The environment may pre-import jax at interpreter startup (TPU plugin
+    # sitecustomize), in which case env vars are read too late; override the
+    # live config as well (safe before any backend is initialized).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

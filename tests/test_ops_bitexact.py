@@ -1,0 +1,194 @@
+"""Bit-exactness of the JAX ops vs the golden NumPy oracle.
+
+Every stage and the full pipeline must match golden bit for bit, on the real
+reference test image and on synthetic images with awkward (non-tile-aligned)
+shapes.  These tests run identically on the CPU backend (default) and on TPU
+(CANNY_TPU_TEST_PLATFORM=tpu).
+"""
+
+import numpy as np
+import pytest
+
+from canny_edge_tpu import golden
+from canny_edge_tpu.models import CannyTPU
+from canny_edge_tpu.ops import numerics, stages
+from tests.conftest import synthetic_image
+
+SIGMAS = [0.5, 1.0, 2.0]
+SHAPES = [(256, 256), (64, 100), (37, 53), (480, 640)]
+
+
+# --- exact numerics primitives --------------------------------------------
+
+def test_exact_div_random():
+    import jax
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 400, size=200000).astype(np.float32)
+    a[rng.random(a.shape) < 0.01] = 0.0
+    b = rng.uniform(0.3, 1.7, size=200000).astype(np.float32)
+    q = np.asarray(jax.jit(numerics.exact_div_f32)(a, b))
+    np.testing.assert_array_equal(q, a / b)
+
+
+def test_exact_div_adversarial():
+    """Quotients constructed to land on/near ties and binade boundaries."""
+    import jax
+
+    rng = np.random.default_rng(1)
+    # exact ties: a = q_mid * b where q_mid is representable-plus-half-ulp
+    qs = rng.uniform(0.5, 255, 50000).astype(np.float32)
+    bs = rng.uniform(0.3, 1.7, 50000).astype(np.float32)
+    # products near representable quotients
+    a = (qs.astype(np.float64) * bs.astype(np.float64)).astype(np.float32)
+    q = np.asarray(jax.jit(numerics.exact_div_f32)(a, bs))
+    np.testing.assert_array_equal(q, a / bs)
+    # powers of two and neighbors
+    base = np.float32(2.0) ** rng.integers(-3, 9, 20000).astype(np.int32)
+    eps = np.float32(1) + np.float32(2 ** -23) * rng.integers(-4, 5, 20000)
+    a2 = (base * eps).astype(np.float32)
+    b2 = rng.uniform(0.5, 2.0, 20000).astype(np.float32)
+    q2 = np.asarray(jax.jit(numerics.exact_div_f32)(a2, b2))
+    np.testing.assert_array_equal(q2, a2 / b2)
+
+
+def test_exact_mul_const():
+    """round_f32(x*w) via integer mantissa path == numpy product, for the
+    actual Gaussian weights and the blur's value domain."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    xs = np.concatenate([
+        rng.uniform(1e-4, 256, 100000),
+        rng.integers(0, 256, 10000).astype(np.float64),
+        [0.0, 1e-4, 255.0, 256.0 - 2 ** -16],
+    ]).astype(np.float32)
+    for sigma in (0.5, 1.0, 2.0):
+        for w in golden.gaussian_kernel(sigma):
+            p = np.asarray(jax.jit(
+                lambda x, w=float(w): numerics.exact_mul_const_f32(x, w))(xs))
+            np.testing.assert_array_equal(p, xs * np.float32(w))
+
+
+def test_isqrt_exhaustive_small_plus_random():
+    import math
+
+    import jax
+
+    n = np.arange(0, 70000, dtype=np.int32)
+    k = np.asarray(jax.jit(numerics.isqrt_int32)(n))
+    expected = np.array([math.isqrt(int(v)) for v in n])
+    np.testing.assert_array_equal(k, expected)
+
+    rng = np.random.default_rng(2)
+    n2 = rng.integers(0, 2_100_000, 100000).astype(np.int32)
+    # include perfect squares and off-by-one values
+    sq = rng.integers(0, 1443, 30000).astype(np.int64) ** 2
+    n2 = np.concatenate([n2, sq.astype(np.int32), (sq + 1).astype(np.int32),
+                         np.maximum(sq - 1, 0).astype(np.int32)])
+    k2 = np.asarray(jax.jit(numerics.isqrt_int32)(n2))
+    expected2 = np.array([math.isqrt(int(v)) for v in n2])
+    np.testing.assert_array_equal(k2, expected2)
+
+
+def test_quantize_angle_matches_golden():
+    import jax
+
+    r = np.arange(-130, 131)
+    gx, gy = np.meshgrid(r, r)
+    gx = gx.astype(np.int32)
+    gy = gy.astype(np.int32)
+    a = np.asarray(jax.jit(numerics.quantize_angle_int)(gx, gy))
+    b = golden.quantize_angle(gx, gy)
+    np.testing.assert_array_equal(a, b)
+
+
+# --- per-stage bit-exactness ----------------------------------------------
+
+@pytest.mark.parametrize("sigma", SIGMAS)
+@pytest.mark.parametrize("shape", [(256, 256), (37, 53)])
+def test_blur_bitexact(sigma, shape, test_image):
+    img = test_image if shape == (256, 256) else synthetic_image(*shape)
+    ours = np.asarray(stages.gaussian_blur(img, sigma))
+    ref = golden.gaussian_blur(img, sigma)
+    np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("shape", SHAPES[:3])
+def test_gradient_bitexact(shape):
+    img = synthetic_image(*shape).astype(np.int16)
+    gx, gy = stages.xy_gradient(img)
+    rgx, rgy = golden.xy_gradient(img)
+    np.testing.assert_array_equal(np.asarray(gx, np.int16), rgx)
+    np.testing.assert_array_equal(np.asarray(gy, np.int16), rgy)
+
+
+def test_sobel_bitexact(test_image):
+    sm = golden.gaussian_blur(test_image, 1.0)
+    mag, ang = stages.sobel(sm)
+    rmag, rang = golden.sobel(sm)
+    np.testing.assert_array_equal(np.asarray(mag, np.int16), rmag)
+    np.testing.assert_array_equal(np.asarray(ang), rang)
+
+
+def test_nms_bitexact(test_image):
+    sm = golden.gaussian_blur(test_image, 1.0)
+    mag, ang = golden.sobel(sm)
+    ours = np.asarray(stages.nonmax_suppression(mag, ang), np.int16)
+    ref = golden.nonmax_suppression(mag, ang)
+    np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("thresholds", [(50, 150), (2, 10), (0, 255)])
+def test_hysteresis_bitexact(thresholds, test_image):
+    mn, mx = thresholds
+    sm = golden.gaussian_blur(test_image, 1.0)
+    nm = golden.nonmax_suppression(*golden.sobel(sm))
+    ours = np.asarray(stages.hysteresis(nm, mn, mx))
+    ref = golden.hysteresis(nm, mn, mx)
+    np.testing.assert_array_equal(ours, ref)
+
+
+# --- full pipeline ---------------------------------------------------------
+
+def test_pipeline_baseline_config(test_image):
+    """BASELINE.json config 1: test.jpg, sigma=1.0, 50/150 — bit-exact."""
+    model = CannyTPU(sigma=1.0)
+    ours = np.asarray(model(test_image, 50, 150))
+    ref = golden.canny(test_image, 1.0, 50, 150)
+    np.testing.assert_array_equal(ours, ref)
+    assert set(np.unique(ours)) <= {0, 255}
+
+
+@pytest.mark.parametrize("sigma", SIGMAS)
+@pytest.mark.parametrize("shape", SHAPES)
+def test_pipeline_bitexact_sweep(sigma, shape):
+    img = synthetic_image(*shape, seed=int(sigma * 10) + shape[0])
+    model = CannyTPU(sigma=sigma)
+    ours = np.asarray(model(img, 30, 90))
+    ref = golden.canny(img, sigma, 30, 90)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_pipeline_batched(test_image):
+    imgs = np.stack([test_image,
+                     synthetic_image(256, 256, seed=7),
+                     np.zeros((256, 256), np.uint8),
+                     np.full((256, 256), 255, np.uint8)])
+    model = CannyTPU(sigma=1.0)
+    outs = np.asarray(model.batch(imgs, 50, 150))
+    for i in range(imgs.shape[0]):
+        np.testing.assert_array_equal(outs[i], golden.canny(imgs[i], 1.0, 50, 150))
+
+
+def test_validation_mirrors_reference_cli():
+    model = CannyTPU(sigma=1.0)
+    img = np.zeros((8, 8), np.uint8)
+    with pytest.raises(ValueError):
+        model(img, 100, 50)   # maxVal <= minVal
+    with pytest.raises(ValueError):
+        model(img, -1, 50)
+    with pytest.raises(ValueError):
+        model(img, 0, 256)
+    with pytest.raises(TypeError):
+        model(img.astype(np.float32), 0, 255)
