@@ -1,0 +1,125 @@
+"""Per-stage timing + throughput instrumentation.
+
+The reference's observability is a single ``chrono`` wall-clock print
+(src/utils.cpp:435,488-489) and external nvprof screenshots (README.md:50-71).
+Here: a proper harness — per-stage wall times via ``block_until_ready``,
+steady-state chained-iteration throughput that excludes host dispatch, and
+structured stats suitable for logs/JSON.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class StageStats:
+    name: str
+    ms: float
+    mps: float  # megapixels/sec
+
+
+@dataclass
+class PipelineReport:
+    image_shape: tuple
+    stages: list[StageStats] = field(default_factory=list)
+    total_ms: float = 0.0
+    total_mps: float = 0.0
+
+    def table(self) -> str:
+        lines = [f"{'stage':<12}{'ms':>10}{'MP/s':>12}"]
+        for s in self.stages:
+            lines.append(f"{s.name:<12}{s.ms:>10.3f}{s.mps:>12.0f}")
+        lines.append(f"{'TOTAL':<12}{self.total_ms:>10.3f}{self.total_mps:>12.0f}")
+        return "\n".join(lines)
+
+    def json(self) -> dict:
+        return {
+            "image_shape": list(self.image_shape),
+            "stages": [vars(s) for s in self.stages],
+            "total_ms": self.total_ms,
+            "total_mps": self.total_mps,
+        }
+
+
+def _time_call(fn, *args, iters: int = 10, warmup: int = 2) -> float:
+    """Median wall seconds per call, post-warmup, block_until_ready."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def profile_stages(img: np.ndarray, sigma: float, min_val: int, max_val: int,
+                   iters: int = 10) -> PipelineReport:
+    """Per-stage timing of the single-chip XLA pipeline on the default device.
+
+    Stages are jitted separately here (so each can be timed); the production
+    pipeline fuses them into one program, so the stage sum is an upper bound
+    on the fused time.
+    """
+    from ..golden.reference import gaussian_kernel
+    from ..ops import stages as S
+
+    kernel_vals = tuple(float(v) for v in gaussian_kernel(sigma))
+    dev_img = jax.device_put(img)
+    mp = img.shape[-2] * img.shape[-1] / 1e6
+
+    blur = jax.jit(functools.partial(S._gaussian_blur_with_kernel,
+                                     kernel_vals=kernel_vals))
+    sob = jax.jit(S.sobel)
+    nms = jax.jit(S.nonmax_suppression)
+    hyst = jax.jit(functools.partial(S.hysteresis, steps_per_check=8))
+
+    sm = blur(dev_img)
+    mag, ang = sob(sm)
+    nm = nms(mag, ang)
+    mn, mx = jnp.int32(min_val), jnp.int32(max_val)
+
+    report = PipelineReport(image_shape=tuple(img.shape))
+    for name, fn, args in [
+        ("gaussian", blur, (dev_img,)),
+        ("sobel", sob, (sm,)),
+        ("nms", nms, (mag, ang)),
+        ("hysteresis", hyst, (nm, mn, mx)),
+    ]:
+        sec = _time_call(fn, *args, iters=iters)
+        report.stages.append(StageStats(name, sec * 1e3, mp / sec))
+
+    report.total_ms = sum(s.ms for s in report.stages)
+    report.total_mps = mp / (report.total_ms / 1e3)
+    return report
+
+
+def throughput_chained(pipe_fn, img: np.ndarray, k: int = 20,
+                       repeats: int = 3) -> float:
+    """Steady-state frames/sec with K pipeline iterations chained inside one
+    jit (host dispatch and transfer excluded; iterations serialized via a
+    threshold perturbation so XLA cannot hoist the loop body)."""
+    h, w = img.shape[-2], img.shape[-1]
+
+    @jax.jit
+    def run_k(x, acc):
+        def body(i, carry):
+            out = pipe_fn(x, jnp.int32(50) + (i % 2), jnp.int32(150))
+            return carry + out.reshape(-1)[0].astype(jnp.int32)
+        return jax.lax.fori_loop(0, k, body, acc)
+
+    dev = jax.device_put(img)
+    run_k(dev, jnp.int32(0)).block_until_ready()
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_k(dev, jnp.int32(1)).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / k)
+    return 1.0 / best

@@ -1,0 +1,102 @@
+"""CLI + IO layer tests (reference app-layer parity, SURVEY components 1-3)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from canny_edge_tpu import golden
+from canny_edge_tpu.cli import main as cli_main
+from canny_edge_tpu.io import imageio, video
+
+
+def test_bgr_to_gray_matches_opencv():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    bgr = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    ours = imageio.bgr_to_gray(bgr)
+    ref = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_minmax_normalize():
+    img = np.array([[-100, 0], [100, 300]], np.int16)
+    out = imageio.minmax_normalize_u8(img)
+    assert out.dtype == np.uint8
+    assert out[0, 0] == 0 and out[1, 1] == 255
+    assert np.all(imageio.minmax_normalize_u8(np.full((4, 4), 7)) == 0)
+
+
+def test_open_source_synthetic_and_batched():
+    frames = list(video.open_source("synthetic:32x48x5"))
+    assert len(frames) == 5 and frames[0].shape == (32, 48)
+    batches = list(video.batched(iter(frames), 2))
+    assert [b.shape[0] for b in batches] == [2, 2, 1]
+    padded = list(video.batched(iter(frames), 2, pad_to_full=True))
+    assert [b.shape[0] for b in padded] == [2, 2, 2]
+
+
+def test_cli_single_image(tmp_path, test_image):
+    import cv2
+
+    src = str(tmp_path / "in.png")
+    cv2.imwrite(src, test_image)
+    out = str(tmp_path / "edges.png")
+    rc = cli_main([src, "1.0", "50", "150", "-o", out,
+                   "--out-dir", str(tmp_path)])
+    assert rc == 0
+    edges = imageio.load_grayscale(out)
+    ref = golden.canny(test_image, 1.0, 50, 150).astype(np.uint8)
+    np.testing.assert_array_equal(edges, ref)
+
+
+def test_cli_save_steps(tmp_path, test_image):
+    import cv2
+
+    src = str(tmp_path / "in.png")
+    cv2.imwrite(src, test_image)
+    rc = cli_main([src, "1.0", "50", "150", "-s",
+                   "--out-dir", str(tmp_path / "steps"),
+                   "-o", str(tmp_path / "e.png")])
+    assert rc == 0
+    for name in ("smoothed", "magnitude", "nonmax"):
+        assert os.path.exists(tmp_path / "steps" / f"step_{name}.png")
+
+
+def test_cli_golden_backend_video_batches(tmp_path):
+    rc = cli_main(["synthetic:32x48x5", "1.0", "30", "90",
+                   "--backend", "golden", "--batch", "2",
+                   "--out-dir", str(tmp_path / "out"), "--json"])
+    assert rc == 0
+    outs = sorted(os.listdir(tmp_path / "out"))
+    assert len(outs) == 5
+
+
+@pytest.mark.parametrize("argv,msg", [
+    (["x.png", "1.0", "150", "50"], "minVal must be less than maxVal"),
+    (["x.png", "1.0", "-1", "50"], "minVal must be in the range"),
+    (["x.png", "1.0", "0", "256"], "maxVal must be in the range"),
+    (["x.png", "-1.0", "0", "255"], "sigma must be positive"),
+])
+def test_cli_validation(argv, msg):
+    with pytest.raises(SystemExit) as exc:
+        cli_main(argv)
+    assert msg in str(exc.value)
+
+
+def test_cli_subprocess_entrypoint(tmp_path, test_image):
+    """python -m canny_edge_tpu.cli works as an executable."""
+    import cv2
+
+    src = str(tmp_path / "in.png")
+    cv2.imwrite(src, test_image)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "canny_edge_tpu.cli", src, "1.0", "50", "150",
+         "-o", str(tmp_path / "out.png")],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr
+    assert "Execution time:" in r.stdout
