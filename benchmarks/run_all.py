@@ -1,0 +1,168 @@
+"""Full benchmark suite over the BASELINE.json configurations.
+
+Usage:  python benchmarks/run_all.py [--quick] [--backends xla,pallas]
+
+Configs (BASELINE.json):
+  1. tests/test.jpg 256x256, sigma=1.0, 50/150       (correctness anchor)
+  2. 1080p frame, sigma=1.4, fused single chip
+  3. batch of 64 x 1080p, single host
+  4. 4K image block-partitioned (sharded mesh if >1 device)
+  5. streaming 4K frames with overlapped prefetch
+
+Prints a JSON document with one entry per (config, backend) to stdout and a
+human table to stderr.  Steady-state numbers use chained on-device
+iterations (host dispatch excluded).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def steady_state(pipe, img, k=10, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run_k(x, acc):
+        def body(i, carry):
+            out = pipe(x, jnp.int32(30) + (i % 2), jnp.int32(90))
+            return carry + out.reshape(-1)[0].astype(jnp.int32)
+        return jax.lax.fori_loop(0, k, body, acc)
+
+    dev = jax.device_put(img)
+    run_k(dev, jnp.int32(0)).block_until_ready()
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_k(dev, jnp.int32(1)).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / k)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="fewer iterations / smaller batch")
+    ap.add_argument("--backends", default="xla,pallas")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu import golden
+    from canny_edge_tpu.golden.reference import gaussian_kernel
+    from canny_edge_tpu.io import synthetic_image
+    from canny_edge_tpu.models.canny import canny_fn
+    from canny_edge_tpu.parallel.streaming import StreamingRunner
+    from canny_edge_tpu.io.video import frames_synthetic
+
+    dev = jax.devices()[0]
+    backends = args.backends.split(",")
+    results = {"device": f"{dev.device_kind} ({dev.platform})",
+               "baseline_mps": 229.0, "configs": []}
+
+    def kv(s):
+        return tuple(float(v) for v in gaussian_kernel(s))
+
+    # --- config 1: correctness anchor on test.jpg ---
+    ref_img_path = "/root/reference/tests/test.jpg"
+    if os.path.exists(ref_img_path):
+        import cv2
+
+        img = cv2.imread(ref_img_path, cv2.IMREAD_GRAYSCALE).astype(np.uint8)
+    else:
+        img = synthetic_image(256, 256)
+    ref = golden.canny(img, 1.0, 50, 150)
+    for b in backends:
+        pipe = functools.partial(canny_fn, kernel_vals=kv(1.0), backend=b)
+        out = np.asarray(jax.jit(pipe)(img, jnp.int32(50), jnp.int32(150)))
+        ok = bool((out == ref).all())
+        results["configs"].append(
+            {"config": "test.jpg 256x256 s1.0 50/150", "backend": b,
+             "bit_exact": ok})
+        log(f"[1] {b}: bit-exact={ok}")
+
+    # --- config 2: 1080p single frame ---
+    im = synthetic_image(1080, 1920, seed=3)
+    for b in backends:
+        pipe = functools.partial(canny_fn, kernel_vals=kv(1.4), backend=b,
+                                 hysteresis_steps=8)
+        sec = steady_state(pipe, im, k=5 if args.quick else 20)
+        mps = im.size / sec / 1e6
+        results["configs"].append(
+            {"config": "1080p s1.4", "backend": b,
+             "ms_per_frame": round(sec * 1e3, 3), "mp_per_s": round(mps, 1),
+             "vs_baseline": round(mps / 229.0, 2)})
+        log(f"[2] {b}: {sec*1e3:.3f} ms/frame  {mps:.0f} MP/s")
+
+    # --- config 3: batch of 1080p frames ---
+    B = 8 if args.quick else 64
+    batch = np.stack([synthetic_image(1080, 1920, seed=i) for i in range(4)])
+    batch = np.tile(batch, (B // 4, 1, 1))[:B]
+    for b in backends:
+        base = functools.partial(canny_fn, kernel_vals=kv(1.4), backend=b,
+                                 hysteresis_steps=8)
+        pipe = jax.vmap(base, in_axes=(0, None, None))
+        try:
+            sec = steady_state(pipe, batch, k=2 if args.quick else 5)
+        except Exception as e:
+            log(f"[3] {b}: FAILED {type(e).__name__}: {e}")
+            continue
+        mps = batch.size / sec / 1e6
+        results["configs"].append(
+            {"config": f"batch{B}x1080p s1.4", "backend": b,
+             "ms_per_batch": round(sec * 1e3, 3), "mp_per_s": round(mps, 1),
+             "fps_1080p": round(B / sec, 1),
+             "vs_baseline": round(mps / 229.0, 2)})
+        log(f"[3] {b}: {sec*1e3:.1f} ms/batch  {mps:.0f} MP/s  "
+            f"{B/sec:.0f} fps")
+
+    # --- config 4: 4K single image ---
+    im4k = synthetic_image(2160, 3840, seed=5)
+    ndev = len(jax.devices())
+    for b in backends:
+        pipe = functools.partial(canny_fn, kernel_vals=kv(1.4), backend=b,
+                                 hysteresis_steps=8)
+        sec = steady_state(pipe, im4k, k=2 if args.quick else 10)
+        mps = im4k.size / sec / 1e6
+        results["configs"].append(
+            {"config": "4K single image s1.4", "backend": b,
+             "devices": 1, "ms": round(sec * 1e3, 3),
+             "mp_per_s": round(mps, 1), "vs_baseline": round(mps / 229.0, 2)})
+        log(f"[4] {b}: {sec*1e3:.2f} ms  {mps:.0f} MP/s (1 chip; "
+            f"{ndev} devices visible)")
+
+    # --- config 5: streaming with overlapped prefetch ---
+    from canny_edge_tpu.models import CannyTPU
+
+    n_frames = 16 if args.quick else 100
+    model = CannyTPU(sigma=1.4, hysteresis_steps=8)
+    runner = StreamingRunner(
+        lambda bt: model._batched(bt, jnp.int32(30), jnp.int32(90)),
+        batch_size=4, prefetch_depth=2)
+    stats = runner.run(frames_synthetic(2160, 3840, n_frames, seed=1))
+    results["configs"].append(
+        {"config": f"stream {n_frames}x4K s1.4 prefetch", "backend": "xla",
+         **stats.to_dict()})
+    log(f"[5] stream: {stats.fps:.1f} fps  {stats.mp_per_s:.0f} MP/s "
+        f"(incl. H2D via prefetch)")
+
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Single dataclass configuration for the whole framework.
+
+Replaces the reference's scattered compile-time constants and positional
+argv parsing (#define WIDTH/HEIGHT src/main.cpp:12-13, NUM_BLOCKS/BLOCK_SIZE
+src/cuda.cu:9-10, ENABLE_CUDA CMakeLists.txt:4-8): every knob is a runtime
+field with validation mirroring the reference's CLI checks
+(src/main.cpp:63-76).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class CannyConfig:
+    # algorithm (reference positional args, src/main.cpp:58-60)
+    sigma: float = 1.0
+    min_val: int = 50
+    max_val: int = 150
+
+    # execution
+    backend: str = "xla"              # xla | pallas | sharded | golden
+    hysteresis_steps: int = 8         # dilations per convergence check (xla)
+    tile: tuple[int, int] = (128, 512)  # pallas VMEM tile
+
+    # batching / sharding
+    batch_size: int = 1
+    mesh_data: int = 1
+    mesh_y: int = 1
+    mesh_x: int = 1
+
+    # streaming
+    prefetch_depth: int = 2
+    checkpoint_path: str | None = None  # stream cursor file for resume
+
+    def __post_init__(self):
+        if self.max_val <= self.min_val:
+            raise ValueError("minVal must be less than maxVal")
+        if not (0 <= self.min_val <= 255):
+            raise ValueError("minVal must be in the range of [0,255]")
+        if not (0 <= self.max_val <= 255):
+            raise ValueError("maxVal must be in the range of [0,255]")
+        if self.sigma <= 0:
+            raise ValueError("sigma must be positive")
+        if self.backend not in ("xla", "pallas", "sharded", "golden"):
+            raise ValueError(f"unknown backend: {self.backend}")
+
+    def to_dict(self) -> dict:
+        return asdict(self)

@@ -1,0 +1,39 @@
+"""Pallas backend for the full pipeline: fused front end + tiled hysteresis.
+
+Drop-in replacement for the XLA stage composition (models.canny backend
+"pallas"), bit-exact against it and the golden oracle.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .frontend import frontend_nm
+from .hysteresis import hysteresis_pallas
+
+
+def _auto_interpret():
+    return jax.default_backend() == "cpu"
+
+
+def canny_fused(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
+                tile=(128, 512), interpret=None):
+    """uint8 (H, W) -> int16 {0,255} via Pallas kernels.
+
+    ``hysteresis_steps`` is accepted for signature parity with the XLA path
+    (the Pallas hysteresis converges in-tile, so the parameter is unused).
+    ``interpret=None`` auto-selects interpreter mode on CPU backends so the
+    same code runs in tests and on TPU.
+    """
+    del hysteresis_steps
+    if interpret is None:
+        interpret = _auto_interpret()
+    if img.ndim == 3:
+        f = lambda x: canny_fused(  # noqa: E731
+            x, min_val, max_val, kernel_vals=kernel_vals, tile=tile,
+            interpret=interpret)
+        return jax.vmap(f)(img)
+    nm = frontend_nm(img, kernel_vals, tile=tile, interpret=interpret)
+    return hysteresis_pallas(nm, min_val, max_val, tile=tile,
+                             interpret=interpret)

@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_MANT_MASK = jnp.int32(0x7FFFFF)
-_HIDDEN = jnp.int32(0x800000)
+_MANT_MASK = np.int32(0x7FFFFF)
+_HIDDEN = np.int32(0x800000)
 
 
 def _decompose(x):
@@ -34,7 +34,7 @@ def _decompose(x):
     value = m * 2^(e - 150).
     """
     bits = jax.lax.bitcast_convert_type(x, jnp.int32)
-    e = jax.lax.shift_right_logical(bits, 23) & jnp.int32(0xFF)
+    e = jax.lax.shift_right_logical(bits, 23) & np.int32(0xFF)
     m = (bits & _MANT_MASK) | _HIDDEN
     return m, e
 
@@ -49,9 +49,9 @@ def _approx_recip(b):
     reciprocal within ~2 ulp.
     """
     bits = jax.lax.bitcast_convert_type(b, jnp.int32)
-    y = jax.lax.bitcast_convert_type(jnp.int32(0x7EF127EA) - bits, jnp.float32)
+    y = jax.lax.bitcast_convert_type(np.int32(0x7EF127EA) - bits, jnp.float32)
     for _ in range(3):
-        y = y * (jnp.float32(2.0) - b * y)
+        y = y * (np.float32(2.0) - b * y)
     return y
 
 
@@ -91,24 +91,27 @@ def exact_div_f32(a, b):
 
     def fix_once(q):
         iq = jax.lax.bitcast_convert_type(q, jnp.int32)
-        eq = jax.lax.shift_right_logical(iq, 23) & jnp.int32(0xFF)
+        eq = jax.lax.shift_right_logical(iq, 23) & np.int32(0xFF)
         mq = (iq & _MANT_MASK) | _HIDDEN
-        d = ea - eq - eb + jnp.int32(150)
+        d = ea - eq - eb + np.int32(150)
         d = jnp.clip(d, 0, 31)
         r = jax.lax.shift_left(ma, d) - mq * mb  # exact (see docstring)
-        two_r = jnp.abs(r) * jnp.int32(2)
+        two_r = jnp.abs(r) * np.int32(2)
         at_binade = mq == _HIDDEN
-        # acceptance threshold: mb above / at-or-below depending on side
+        # acceptance threshold: mb above / at-or-below depending on side.
+        # Pure logical ops (no select-on-bool: Mosaic cannot legalize i1
+        # vector selects).
         ok_above = (two_r < mb) | ((two_r == mb) & (mq % 2 == 0))
-        ok_below = jnp.where(at_binade, two_r * 2 <= mb, ok_above)
-        ok = jnp.where(r >= 0, ok_above, ok_below)
-        step = jnp.where(r > 0, jnp.int32(1), jnp.int32(-1))
+        ok_below = (at_binade & (two_r * 2 <= mb)) | (~at_binade & ok_above)
+        neg = r < 0
+        ok = (~neg & ok_above) | (neg & ok_below)
+        step = jnp.where(r > 0, np.int32(1), np.int32(-1))
         iq_new = jnp.where(ok | (r == 0), iq, iq + step)
         return jax.lax.bitcast_convert_type(iq_new, jnp.float32)
 
     for _ in range(8):
         q = fix_once(q)
-    return jnp.where(a == 0, jnp.float32(0), q)
+    return jnp.where(a == 0, np.float32(0), q)
 
 
 def exact_mul_const_f32(x, w: float):
@@ -145,34 +148,34 @@ def exact_mul_const_f32(x, w: float):
     mx32, ex = _decompose(x)
     mx = mx32.astype(jnp.uint32)
     xh = mx >> 12
-    xl = mx & jnp.uint32(0xFFF)
+    xl = mx & np.uint32(0xFFF)
 
     # exact 48-bit product P = mx*mw via 12-bit limbs, held as
     # (Phi = P >> 16, Plo = P & 0xFFFF) in uint32
-    A = xh * jnp.uint32(wh)                       # < 2^24
-    M = xh * jnp.uint32(wl) + xl * jnp.uint32(wh)  # < 2^25
-    C = xl * jnp.uint32(wl)                       # < 2^24
-    S = C + ((M & jnp.uint32(0xF)) << 12)         # < 2^24 + 2^16
+    A = xh * np.uint32(wh)                       # < 2^24
+    M = xh * np.uint32(wl) + xl * np.uint32(wh)  # < 2^25
+    C = xl * np.uint32(wl)                       # < 2^24
+    S = C + ((M & np.uint32(0xF)) << 12)         # < 2^24 + 2^16
     Phi = (A << 8) + (M >> 4) + (S >> 16)
-    Plo = S & jnp.uint32(0xFFFF)
+    Plo = S & np.uint32(0xFFFF)
 
     # round P (in [2^46, 2^48)) to a 24-bit mantissa, nearest-even
-    big = Phi >= jnp.uint32(0x80000000)           # P >= 2^47 -> drop 24 bits
+    big = Phi >= np.uint32(0x80000000)           # P >= 2^47 -> drop 24 bits
     m24 = jnp.where(big, Phi >> 8, Phi >> 7)
-    drop_hi = jnp.where(big, Phi & jnp.uint32(0xFF), Phi & jnp.uint32(0x7F))
+    drop_hi = jnp.where(big, Phi & np.uint32(0xFF), Phi & np.uint32(0x7F))
     dropped = (drop_hi << 16) | Plo               # <= 2^24
-    half = jnp.where(big, jnp.uint32(1 << 23), jnp.uint32(1 << 22))
+    half = jnp.where(big, np.uint32(1 << 23), np.uint32(1 << 22))
     round_up = (dropped > half) | ((dropped == half) & ((m24 & 1) == 1))
     m24 = m24 + round_up.astype(jnp.uint32)       # 2^24 rolls into exponent
 
     # value = m24 * 2^(ex+ew-300+shift); assemble float bits directly
     # (int32 domain: ew - 150 may be negative; m24 < 2^24+1 fits)
-    shift = jnp.where(big, jnp.int32(24), jnp.int32(23))
-    ebits = ex + shift + jnp.int32(ew - 150)
+    shift = jnp.where(big, np.int32(24), np.int32(23))
+    ebits = ex + shift + np.int32(ew - 150)
     bits = jax.lax.shift_left(ebits, 23) + m24.astype(jnp.int32) \
-        - jnp.int32(1 << 23)
+        - np.int32(1 << 23)
     out = jax.lax.bitcast_convert_type(bits, jnp.float32)
-    return jnp.where(x == 0, jnp.float32(0), out)
+    return jnp.where(x == 0, np.float32(0), out)
 
 
 def isqrt_int32(n):
@@ -206,6 +209,12 @@ def quantize_angle_int(gx, gy):
     golden.reference.quantize_angle.  Requires |gx|,|gy| <= 32767 to avoid
     int32 overflow in the squared terms.
     """
+    return quantize_angle_i32(gx, gy).astype(jnp.int16)
+
+
+def quantize_angle_i32(gx, gy):
+    """int32 variant of :func:`quantize_angle_int` (all-int32 arithmetic so
+    Mosaic never needs int16-layout i1 masks inside Pallas kernels)."""
     gxi = gx.astype(jnp.int32)
     gyi = gy.astype(jnp.int32)
     ax = jnp.abs(gxi)
@@ -217,9 +226,9 @@ def quantize_angle_int(gx, gy):
     same = sign_prod > 0
     opp = sign_prod < 0
 
-    out = jnp.zeros(jnp.shape(gxi), jnp.int16)
-    out = jnp.where((gxi == 0) & (gyi != 0), jnp.int16(90), out)
-    out = jnp.where(same & mid, jnp.int16(45), out)
-    out = jnp.where(opp & mid, jnp.int16(135), out)
-    out = jnp.where((same | opp) & high, jnp.int16(90), out)
+    out = jnp.zeros(jnp.shape(gxi), jnp.int32)
+    out = jnp.where((gxi == 0) & (gyi != 0), np.int32(90), out)
+    out = jnp.where(same & mid, np.int32(45), out)
+    out = jnp.where(opp & mid, np.int32(135), out)
+    out = jnp.where((same | opp) & high, np.int32(90), out)
     return out

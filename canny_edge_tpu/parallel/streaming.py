@@ -1,0 +1,188 @@
+"""Streaming executor: overlapped host->HBM prefetch + cursor checkpointing.
+
+BASELINE.json config 5: a long video stream processed as device batches with
+H2D transfer overlapped against compute, sharded across hosts over DCN.
+
+Pieces:
+
+* :class:`DevicePrefetcher` — a background thread that stages upcoming host
+  batches onto the device (``jax.device_put``) ``depth`` batches ahead, so
+  transfer rides under compute (the TPU-native replacement for the
+  reference's per-stage cudaMemcpy staging, src/cuda.cu:90,96).
+* :class:`StreamCursor` — durable progress file enabling deterministic
+  restart from the last completed batch (the reference has no failure
+  handling at all; a stateless per-frame pipeline only needs a cursor).
+* :class:`StreamingRunner` — pulls frames, batches them, prefetches,
+  runs any batch-callable (single-chip batched or ShardedCanny), writes
+  results via a callback, maintains throughput metrics.
+* multi-host: each host runs a runner over its own shard of the frame
+  stream (round-robin by ``host_id``/``num_hosts``); results/metrics are
+  per-host, aggregated by ``psum`` inside the sharded pipeline itself or by
+  the caller via jax.experimental.multihost_utils when a global view is
+  needed.  ``jax.distributed.initialize`` is the caller's responsibility
+  (single-process in this environment).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Iterator
+
+import numpy as np
+
+
+class StreamCursor:
+    """Durable "last completed batch" marker for deterministic restart."""
+
+    def __init__(self, path: str | None):
+        self.path = path
+        self.completed = -1
+        if path and os.path.exists(path):
+            with open(path) as f:
+                self.completed = json.load(f).get("completed_batch", -1)
+
+    def advance(self, batch_index: int) -> None:
+        self.completed = batch_index
+        if self.path:
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"completed_batch": batch_index,
+                           "ts": time.time()}, f)
+            os.replace(tmp, self.path)  # atomic
+
+
+class DevicePrefetcher:
+    """Stage host batches onto device ``depth`` ahead of the consumer."""
+
+    _END = object()
+
+    def __init__(self, batches: Iterable[np.ndarray], put: Callable,
+                 depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+        self._put = put
+        self._err: Exception | None = None
+        self._thread = threading.Thread(
+            target=self._producer, args=(iter(batches),), daemon=True)
+        self._thread.start()
+
+    def _producer(self, it: Iterator[np.ndarray]):
+        try:
+            for batch in it:
+                self._q.put(self._put(batch))
+        except Exception as e:  # surfaced on the consumer side
+            self._err = e
+        finally:
+            self._q.put(self._END)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._END:
+                if self._err:
+                    raise self._err
+                return
+            yield item
+
+
+@dataclass
+class StreamStats:
+    frames: int = 0
+    batches: int = 0
+    seconds: float = 0.0
+    skipped_batches: int = 0
+    mp: float = 0.0
+
+    @property
+    def fps(self) -> float:
+        return self.frames / self.seconds if self.seconds else 0.0
+
+    @property
+    def mp_per_s(self) -> float:
+        return self.mp / self.seconds if self.seconds else 0.0
+
+    def to_dict(self) -> dict:
+        return {"frames": self.frames, "batches": self.batches,
+                "seconds": round(self.seconds, 4),
+                "skipped_batches": self.skipped_batches,
+                "fps": round(self.fps, 2), "mp_per_s": round(self.mp_per_s, 2)}
+
+
+class StreamingRunner:
+    """Run a batch pipeline over a frame stream with prefetch + resume.
+
+    ``run_batch(device_batch) -> device_result`` is any jitted callable
+    (e.g. ``lambda b: model.batch(b, mn, mx)`` or a ShardedCanny).
+    ``on_result(batch_index, np_result)`` consumes outputs (may be None).
+    """
+
+    def __init__(self, run_batch: Callable, *, batch_size: int,
+                 prefetch_depth: int = 2, cursor: StreamCursor | None = None,
+                 device_put: Callable | None = None,
+                 host_id: int = 0, num_hosts: int = 1):
+        import jax
+
+        self.run_batch = run_batch
+        self.batch_size = batch_size
+        self.prefetch_depth = prefetch_depth
+        self.cursor = cursor or StreamCursor(None)
+        self.device_put = device_put or jax.device_put
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+
+    def _host_shard(self, frames: Iterable[np.ndarray]):
+        """Round-robin frame sharding across hosts (DCN input sharding)."""
+        for i, f in enumerate(frames):
+            if i % self.num_hosts == self.host_id:
+                yield f
+
+    def run(self, frames: Iterable[np.ndarray],
+            on_result: Callable | None = None) -> StreamStats:
+        import jax
+
+        from ..io.video import batched
+
+        stats = StreamStats()
+        start_after = self.cursor.completed
+
+        def indexed_batches():
+            it = batched(self._host_shard(frames), self.batch_size,
+                         pad_to_full=True)
+            for bi, b in enumerate(it):
+                if bi <= start_after:       # resume: skip completed work
+                    stats.skipped_batches += 1
+                    continue
+                yield bi, b
+
+        def put(item):
+            bi, b = item
+            return bi, b.shape, self.device_put(b)
+
+        t0 = time.perf_counter()
+        pending = None
+        for bi, shape, dev_batch in DevicePrefetcher(
+                indexed_batches(), put, self.prefetch_depth):
+            result = self.run_batch(dev_batch)
+            if pending is not None:
+                # overlap: finalize previous batch while this one computes
+                self._finalize(pending, on_result, stats)
+            pending = (bi, shape, result)
+        if pending is not None:
+            self._finalize(pending, on_result, stats)
+        jax.block_until_ready(result) if pending else None
+        stats.seconds = time.perf_counter() - t0
+        return stats
+
+    def _finalize(self, pending, on_result, stats: StreamStats):
+        bi, shape, result = pending
+        host = np.asarray(result)
+        if on_result is not None:
+            on_result(bi, host)
+        stats.batches += 1
+        stats.frames += shape[0]
+        stats.mp += float(np.prod(shape)) / 1e6
+        self.cursor.advance(bi)
