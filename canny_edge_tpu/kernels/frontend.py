@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.numerics import (exact_div_f32, exact_mul_const_f32, isqrt_int32,
+from ..ops.numerics import (exact_div_f32, mul_const_f32, isqrt_int32,
                             quantize_angle_i32)
 
 _NMS_OOB = -32768
@@ -77,7 +77,7 @@ def _frontend_kernel(img_ref, nm_ref, *, kernel_vals, th, tw, r, H, W):
     for t in range(window):
         off = t - c
         m = ((gcol + off) >= 0) & ((gcol + off) < W)
-        p = exact_mul_const_f32(x[:, t:t + wo], kernel_vals[t])
+        p = mul_const_f32(x[:, t:t + wo], kernel_vals[t])
         acc = acc + jnp.where(m, p, np.float32(0.0))
         cnt = cnt + jnp.where(m, np.float32(kernel_vals[t]), np.float32(0))
     temp = exact_div_f32(acc, jnp.broadcast_to(cnt, acc.shape))
@@ -90,7 +90,7 @@ def _frontend_kernel(img_ref, nm_ref, *, kernel_vals, th, tw, r, H, W):
     for t in range(window):
         off = t - c
         m = ((grow + off) >= 0) & ((grow + off) < H)
-        p = exact_mul_const_f32(temp[t:t + ho, :], kernel_vals[t])
+        p = mul_const_f32(temp[t:t + ho, :], kernel_vals[t])
         acc = acc + jnp.where(m, p, np.float32(0.0))
         cnt = cnt + jnp.where(m, np.float32(kernel_vals[t]), np.float32(0))
     sm = exact_div_f32(acc, jnp.broadcast_to(cnt, acc.shape)).astype(jnp.int32)

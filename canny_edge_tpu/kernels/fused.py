@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from .frontend import frontend_nm
 from .hysteresis import hysteresis_pallas
+from .hysteresis_v2 import hysteresis_banded
 
 
 def _auto_interpret():
@@ -18,13 +19,15 @@ def _auto_interpret():
 
 
 def canny_fused(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
-                tile=(128, 512), interpret=None):
+                tile=(128, 512), interpret=None, hysteresis_impl="banded"):
     """uint8 (H, W) -> int16 {0,255} via Pallas kernels.
 
     ``hysteresis_steps`` is accepted for signature parity with the XLA path
     (the Pallas hysteresis converges in-tile, so the parameter is unused).
     ``interpret=None`` auto-selects interpreter mode on CPU backends so the
     same code runs in tests and on TPU.
+    ``hysteresis_impl``: "banded" (raster-scan wavefront, default) or
+    "dilate" (v1 tiled dilation fixed point).
     """
     del hysteresis_steps
     if interpret is None:
@@ -32,8 +35,10 @@ def canny_fused(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
     if img.ndim == 3:
         f = lambda x: canny_fused(  # noqa: E731
             x, min_val, max_val, kernel_vals=kernel_vals, tile=tile,
-            interpret=interpret)
+            interpret=interpret, hysteresis_impl=hysteresis_impl)
         return jax.vmap(f)(img)
     nm = frontend_nm(img, kernel_vals, tile=tile, interpret=interpret)
+    if hysteresis_impl == "banded":
+        return hysteresis_banded(nm, min_val, max_val, interpret=interpret)
     return hysteresis_pallas(nm, min_val, max_val, tile=tile,
                              interpret=interpret)

@@ -109,9 +109,24 @@ def exact_div_f32(a, b):
         iq_new = jnp.where(ok | (r == 0), iq, iq + step)
         return jax.lax.bitcast_convert_type(iq_new, jnp.float32)
 
-    for _ in range(8):
+    for _ in range(6):
         q = fix_once(q)
     return jnp.where(a == 0, np.float32(0), q)
+
+
+def mul_const_f32(x, w: float):
+    """``round_f32(x * w)``, taking the cheap path where it is provably safe.
+
+    On TPU, a lone f32 multiply is correctly rounded and XLA:TPU performs no
+    mul+add FMA contraction (verified empirically by the bit-exactness suite
+    run with CANNY_TPU_TEST_PLATFORM=tpu), so a plain multiply already
+    matches the golden product.  LLVM-based CPU backends contract, so there
+    the integer-exact product is used.  Backend choice happens at trace
+    time.
+    """
+    if jax.default_backend() == "cpu":
+        return exact_mul_const_f32(x, w)
+    return jnp.asarray(x, jnp.float32) * np.float32(w)
 
 
 def exact_mul_const_f32(x, w: float):

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..golden.reference import gaussian_kernel
-from .numerics import (exact_div_f32, exact_mul_const_f32, isqrt_int32,
+from .numerics import (exact_div_f32, mul_const_f32, isqrt_int32,
                        quantize_angle_int)
 from .shifts import (clamp_shift_cols, clamp_shift_rows, shift2d, shift_cols,
                      shift_rows)
@@ -63,10 +63,10 @@ def _gaussian_blur_with_kernel(img, kernel_vals):
     cnt = jnp.zeros((1, w), jnp.float32)
     for t in range(window):
         off = t - center
-        # exact_mul_const_f32: product rounding done in integer arithmetic so
+        # mul_const_f32: product rounding done in integer arithmetic so
         # compiler FMA contraction cannot change the accumulation (see
         # ops.numerics); the adds themselves are contraction-proof pure fadds
-        acc = acc + exact_mul_const_f32(shift_cols(x, off), kernel[t])
+        acc = acc + mul_const_f32(shift_cols(x, off), kernel[t])
         m = ((col + off) >= 0) & ((col + off) < w)
         cnt = cnt + jnp.where(m, jnp.float32(kernel[t]), jnp.float32(0))
     temp = exact_div_f32(acc, jnp.broadcast_to(cnt, acc.shape))
@@ -77,7 +77,7 @@ def _gaussian_blur_with_kernel(img, kernel_vals):
     cnt = jnp.zeros((h, 1), jnp.float32)
     for t in range(window):
         off = t - center
-        acc = acc + exact_mul_const_f32(shift_rows(temp, off), kernel[t])
+        acc = acc + mul_const_f32(shift_rows(temp, off), kernel[t])
         m = ((row + off) >= 0) & ((row + off) < h)
         cnt = cnt + jnp.where(m, jnp.float32(kernel[t]), jnp.float32(0))
     out = exact_div_f32(acc, jnp.broadcast_to(cnt, acc.shape))

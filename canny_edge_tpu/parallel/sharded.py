@@ -28,7 +28,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..golden.reference import gaussian_kernel
-from ..ops.numerics import (exact_div_f32, exact_mul_const_f32, isqrt_int32,
+from ..ops.numerics import (exact_div_f32, mul_const_f32, isqrt_int32,
                             quantize_angle_int)
 from .halo import halo_exchange_2d, halo_exchange_cols, halo_exchange_rows
 
@@ -109,7 +109,7 @@ def _blur_shard(img, kernel_vals, H: int, W: int):
         m = ((gcol + (t - c)) >= 0) & ((gcol + (t - c)) < W)
         # beyond-global-border halo is zero-filled => tap*k adds +0.0 there,
         # identical to the reference's skipped out-of-bounds taps
-        acc = acc + jnp.where(m, exact_mul_const_f32(tap, kernel[t]),
+        acc = acc + jnp.where(m, mul_const_f32(tap, kernel[t]),
                               jnp.float32(0.0))
         cnt = cnt + jnp.where(m, jnp.float32(kernel[t]), jnp.float32(0.0))
     temp = exact_div_f32(acc, jnp.broadcast_to(cnt, acc.shape))
@@ -122,7 +122,7 @@ def _blur_shard(img, kernel_vals, H: int, W: int):
     for t in range(window):
         tap = tp[..., t:t + hl, :]
         m = ((grow + (t - c)) >= 0) & ((grow + (t - c)) < H)
-        acc = acc + jnp.where(m, exact_mul_const_f32(tap, kernel[t]),
+        acc = acc + jnp.where(m, mul_const_f32(tap, kernel[t]),
                               jnp.float32(0.0))
         cnt = cnt + jnp.where(m, jnp.float32(kernel[t]), jnp.float32(0.0))
     out = exact_div_f32(acc, jnp.broadcast_to(cnt, acc.shape))

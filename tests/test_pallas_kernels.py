@@ -81,6 +81,55 @@ def test_hysteresis_pallas_snake():
     assert (out == 255).sum() > 1000  # the whole snake lit up
 
 
+@pytest.mark.parametrize("thresholds", [(50, 150), (2, 10)])
+@pytest.mark.parametrize("band_h", [16, 64])
+def test_hysteresis_banded_bitexact(thresholds, band_h, test_image):
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.kernels.hysteresis_v2 import hysteresis_banded
+
+    mn, mx = thresholds
+    sm = golden.gaussian_blur(test_image, 1.0)
+    nm = golden.nonmax_suppression(*golden.sobel(sm))
+    out = np.asarray(jax.jit(
+        lambda x: hysteresis_banded(x.astype(jnp.int32), mn, mx,
+                                    band_h=band_h))(nm))
+    ref = golden.hysteresis(nm, mn, mx)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_hysteresis_banded_spiral():
+    """Adversarial inward spiral: many bends, single strong seed at center."""
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.kernels.hysteresis_v2 import hysteresis_banded
+
+    nm = np.zeros((40, 40), np.int16)
+    r0, c0, r1, c1 = 0, 0, 39, 39
+    pts = []
+    while r0 <= r1 and c0 <= c1:
+        for c in range(c0, c1 + 1):
+            pts.append((r0, c))
+        for r in range(r0 + 1, r1 + 1):
+            pts.append((r, c1))
+        if r0 < r1:
+            for c in range(c1 - 1, c0 - 1, -1):
+                pts.append((r1, c))
+        if c0 < c1:
+            for r in range(r1 - 1, r0 + 1, -1):
+                pts.append((r, c0))
+        r0 += 2; c0 += 2; r1 -= 2; c1 -= 2
+    for (r, c) in pts:
+        nm[r, c] = 30
+    nm[pts[-1]] = 200
+    out = np.asarray(jax.jit(
+        lambda x: hysteresis_banded(x.astype(jnp.int32), 10, 100,
+                                    band_h=16))(nm))
+    np.testing.assert_array_equal(out, golden.hysteresis(nm, 10, 100))
+
+
 def test_full_pallas_pipeline(test_image):
     from canny_edge_tpu.models import CannyTPU
 

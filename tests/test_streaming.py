@@ -75,3 +75,22 @@ def test_config_validation():
         CannyConfig(sigma=0)
     d = CannyConfig(sigma=2.0).to_dict()
     assert d["sigma"] == 2.0
+
+
+def test_multihost_single_process_degenerate():
+    """Single-host: initialize is a no-op, mesh covers local devices,
+    stats aggregation returns the local dict."""
+    import jax
+
+    from canny_edge_tpu.parallel import multihost
+    from canny_edge_tpu.parallel.streaming import StreamStats
+
+    pid, n = multihost.initialize()
+    assert (pid, n) == (0, 1)
+    mesh = multihost.global_mesh(data=1, y=2, x=4)
+    assert dict(mesh.shape) == {"data": 1, "y": 2, "x": 4}
+    cfg = multihost.host_local_stream_config(8)
+    assert cfg.num_hosts == 1 and cfg.batch_size == 8
+    s = StreamStats(frames=10, batches=5, seconds=2.0, mp=1.0)
+    agg = multihost.aggregate_stats(s)
+    assert agg["frames"] == 10
