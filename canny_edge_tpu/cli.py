@@ -80,7 +80,10 @@ def main(argv=None) -> int:
 
     from .io import imageio, video
 
-    frames = video.open_source(args.input, args.max_frames)
+    try:
+        frames = video.open_source(args.input, args.max_frames)
+    except FileNotFoundError as e:
+        raise SystemExit(f"ERROR: {e}")
 
     if args.backend == "golden":
         from . import golden

@@ -71,14 +71,15 @@ def _band_kernel(weak_ref, edges_ref, out_ref, changed_ref, scratch,
                  *, band_h):
     """One sweep over a group of bands, to in-group fixed point.
 
-    weak_ref/edges_ref: (G, band_h+2, W) int8 with row halos.
+    weak_ref: (G, band_h+2, W) int32; edges_ref: same shape int8.
     scratch: (G, band_h+2, W) int32 VMEM working state.
     """
     scratch[:] = edges_ref[:].astype(jnp.int32)
     base = jnp.sum(scratch[:, 1:-1, :])
 
     def wrow(r):
-        return weak_ref[:, pl.ds(r, 1), :][:, 0, :].astype(jnp.int32)
+        # weak is int32: Mosaic cannot vector.load i8 at a dynamic row index
+        return weak_ref[:, pl.ds(r, 1), :][:, 0, :]
 
     def erow(r):
         return scratch[:, pl.ds(r, 1), :][:, 0, :]
@@ -141,7 +142,7 @@ def hysteresis_banded(nm, min_val, max_val, *, band_h: int = 128,
 
     weak = jnp.pad((nm >= min_val).astype(jnp.int8), ((0, hp - H), (0, 0)))
     strong = jnp.pad((nm >= max_val).astype(jnp.int8), ((0, hp - H), (0, 0)))
-    weak_bands = _to_bands(weak, band_h, nb)
+    weak_bands = _to_bands(weak, band_h, nb).astype(jnp.int32)
 
     kern = functools.partial(_band_kernel, band_h=band_h)
     grid_spec = dict(
