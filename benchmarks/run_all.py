@@ -33,24 +33,11 @@ def log(*a):
 
 
 def steady_state(pipe, img, k=10, repeats=3):
-    import jax
-    import jax.numpy as jnp
+    """Per-run seconds via the checksum-slope protocol (see utils.timing)."""
+    from canny_edge_tpu.utils.timing import checksum_slope_seconds
 
-    @jax.jit
-    def run_k(x, acc):
-        def body(i, carry):
-            out = pipe(x, jnp.int32(30) + (i % 2), jnp.int32(90))
-            return carry + out.reshape(-1)[0].astype(jnp.int32)
-        return jax.lax.fori_loop(0, k, body, acc)
-
-    dev = jax.device_put(img)
-    run_k(dev, jnp.int32(0)).block_until_ready()
-    best = np.inf
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        run_k(dev, jnp.int32(1)).block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / k)
-    return best
+    return checksum_slope_seconds(pipe, img, k1=max(2, k // 4), k2=k,
+                                  samples=min(3, repeats))
 
 
 def main():

@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.numerics import (exact_div_f32, mul_const_f32, isqrt_int32,
+from ..ops.numerics import (exact_div_by_vector, isqrt_int32, mul_const_f32,
                             quantize_angle_i32)
 
 _NMS_OOB = -32768
@@ -80,7 +80,7 @@ def _frontend_kernel(img_ref, nm_ref, *, kernel_vals, th, tw, r, H, W):
         p = mul_const_f32(x[:, t:t + wo], kernel_vals[t])
         acc = acc + jnp.where(m, p, np.float32(0.0))
         cnt = cnt + jnp.where(m, np.float32(kernel_vals[t]), np.float32(0))
-    temp = exact_div_f32(acc, jnp.broadcast_to(cnt, acc.shape))
+    temp = exact_div_by_vector(acc, cnt)
 
     # ---- blur y pass: rows [c, hp-c) -> smoothed (th+4, tw+4) ----
     ho = hp - 2 * c
@@ -93,7 +93,7 @@ def _frontend_kernel(img_ref, nm_ref, *, kernel_vals, th, tw, r, H, W):
         p = mul_const_f32(temp[t:t + ho, :], kernel_vals[t])
         acc = acc + jnp.where(m, p, np.float32(0.0))
         cnt = cnt + jnp.where(m, np.float32(kernel_vals[t]), np.float32(0))
-    sm = exact_div_f32(acc, jnp.broadcast_to(cnt, acc.shape)).astype(jnp.int32)
+    sm = exact_div_by_vector(acc, cnt).astype(jnp.int32)
     # sm covers global rows [i*th-2, ...+th+4), cols [j*tw-2, ...) (margin 2)
 
     # ---- sobel on margin-1 region (th+2, tw+2) ----

@@ -71,53 +71,64 @@ def _band_kernel(weak_ref, edges_ref, out_ref, changed_ref, scratch,
                  *, band_h):
     """One sweep over a group of bands, to in-group fixed point.
 
-    weak_ref: (G, band_h+2, W) int32; edges_ref: same shape int8.
-    scratch: (G, band_h+2, W) int32 VMEM working state.
+    weak_ref/edges_ref: (G, band_h+2, W) int8 (read once, statically).
+    scratch: (G, band_h+2, W) int32 — bit 0 = edge, bit 1 = weak (packing
+    both masks into one scratch halves VMEM so whole-image groups fit;
+    Mosaic also cannot vector.load i8 at dynamic row indices, so the
+    dynamically-indexed working state must be int32 anyway).
     """
-    scratch[:] = edges_ref[:].astype(jnp.int32)
-    base = jnp.sum(scratch[:, 1:-1, :])
+    scratch[:] = (edges_ref[:].astype(jnp.int32)
+                  | jax.lax.shift_left(weak_ref[:].astype(jnp.int32), 1))
+    base = jnp.sum(scratch[:, 1:-1, :] & 1)
 
-    def wrow(r):
-        # weak is int32: Mosaic cannot vector.load i8 at a dynamic row index
-        return weak_ref[:, pl.ds(r, 1), :][:, 0, :]
-
-    def erow(r):
+    def vrow(r):
         return scratch[:, pl.ds(r, 1), :][:, 0, :]
 
+    def _step(r, nb_r):
+        v = vrow(r)
+        wr = jax.lax.shift_right_logical(v, 1)
+        er = v & 1
+        nbr = vrow(nb_r) & 1
+        grow = nbr | _shift_left_lanes(nbr, 1) | _shift_right_lanes(nbr, 1)
+        cur = _hflood(er | (grow & wr), wr)
+        scratch[:, pl.ds(r, 1), :] = (
+            jax.lax.shift_left(wr, 1) | cur)[:, None, :]
+
     def fwd_body(r, carry):
-        prev = erow(r - 1)
-        grow = prev | _shift_left_lanes(prev, 1) | _shift_right_lanes(prev, 1)
-        wr = wrow(r)
-        cur = erow(r) | (grow & wr)
-        scratch[:, pl.ds(r, 1), :] = _hflood(cur, wr)[:, None, :]
+        _step(r, r - 1)
         return carry
 
     def bwd_body(i, carry):
         r = band_h + 1 - i  # rows band_h .. 1
-        nxt = erow(r + 1)
-        grow = nxt | _shift_left_lanes(nxt, 1) | _shift_right_lanes(nxt, 1)
-        wr = wrow(r)
-        cur = erow(r) | (grow & wr)
-        scratch[:, pl.ds(r, 1), :] = _hflood(cur, wr)[:, None, :]
+        _step(r, r + 1)
         return carry
 
-    def round_fn(prev_total):
+    def pending_growth():
+        """Vectorized fixed-point test: pixels one dilate step would add.
+
+        Replaces a whole confirmation round of the (row-loop) passes with
+        ~15 full-tensor VPU ops.  Band halos are rows in the tensor, so the
+        per-band dilation along axis 1 respects band boundaries.
+        """
+        v = scratch[:]
+        e = v & 1
+        w = jax.lax.shift_right_logical(v, 1)
+        h = e | _shift_left_lanes(e, 1) | _shift_right_lanes(e, 1)
+        zrow = jnp.zeros_like(h[:, :1, :])
+        up = jnp.concatenate([h[:, 1:, :], zrow], axis=1)
+        dn = jnp.concatenate([zrow, h[:, :-1, :]], axis=1)
+        new = w & (h | up | dn)
+        return jnp.sum(new[:, 1:-1, :] - e[:, 1:-1, :])
+
+    def round_fn(_):
         jax.lax.fori_loop(1, band_h + 2, fwd_body, jnp.int32(0))
         jax.lax.fori_loop(1, band_h + 1, bwd_body, jnp.int32(0))
-        return jnp.sum(scratch[:, 1:-1, :])
+        return pending_growth()
 
-    def cond(state):
-        prev_total, cur_total = state
-        return cur_total > prev_total
-
-    def body(state):
-        _, cur_total = state
-        return cur_total, round_fn(cur_total)
-
-    first = round_fn(base)
-    _, _ = jax.lax.while_loop(cond, body, (base, first))
-    out_ref[:] = scratch[:, 1:-1, :].astype(jnp.int8)
-    changed_ref[0, 0, 0] = jnp.sum(scratch[:, 1:-1, :]) - base
+    pending = round_fn(jnp.int32(0))
+    jax.lax.while_loop(lambda p: p > 0, round_fn, pending)
+    out_ref[:] = (scratch[:, 1:-1, :] & 1).astype(jnp.int8)
+    changed_ref[0, 0, 0] = jnp.sum(scratch[:, 1:-1, :] & 1) - base
 
 
 def _to_bands(x, band_h, nb):
@@ -127,14 +138,29 @@ def _to_bands(x, band_h, nb):
     return jnp.stack(rows)
 
 
-def hysteresis_banded(nm, min_val, max_val, *, band_h: int = 128,
-                      group: int = 4, interpret=None):
-    """int NMS magnitude (H, W) -> int16 {0,255} via banded raster scans."""
+def hysteresis_banded(nm, min_val, max_val, *, band_h: int | None = None,
+                      group: int | None = None, interpret=None):
+    """int NMS magnitude (H, W) -> int16 {0,255} via banded raster scans.
+
+    Defaults: ~270-row bands (few bands => few cross-band sweeps) grouped
+    to fit the packed int32 scratch plus the int8 blocks in ~10 MB of VMEM.
+    """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     H, W = nm.shape
+    # Cost model: row-steps per sweep = ng * 2 * band_h = 2H/g, so the group
+    # width g should be as large as the VMEM budget allows (scratch int32 +
+    # three int8 blocks ~= 7 bytes per texel); band_h trades cross-band
+    # sweep count (fewer, taller bands) against group width.
+    if band_h is None:
+        band_h = 64 if H >= 512 else max(8, H)
     band_h = min(band_h, max(8, H))
     nb = _cdiv(H, band_h)
+    if group is None:
+        # observed VMEM footprint ~16 B/texel: int32 scratch + int8 blocks
+        # with Pallas double/triple buffering of inputs and outputs
+        per_band = (band_h + 2) * W * 16
+        group = max(1, min(nb, int(15e6 // per_band)))
     g = min(group, nb)
     ng = _cdiv(nb, g)
     nb = ng * g                      # pad bands to a multiple of the group
@@ -142,7 +168,7 @@ def hysteresis_banded(nm, min_val, max_val, *, band_h: int = 128,
 
     weak = jnp.pad((nm >= min_val).astype(jnp.int8), ((0, hp - H), (0, 0)))
     strong = jnp.pad((nm >= max_val).astype(jnp.int8), ((0, hp - H), (0, 0)))
-    weak_bands = _to_bands(weak, band_h, nb).astype(jnp.int32)
+    weak_bands = _to_bands(weak, band_h, nb)
 
     kern = functools.partial(_band_kernel, band_h=band_h)
     grid_spec = dict(
@@ -171,16 +197,31 @@ def hysteresis_banded(nm, min_val, max_val, *, band_h: int = 128,
                 jax.ShapeDtypeStruct((ng, 1, 1), jnp.int32),
             ],
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             **grid_spec,
         )(weak_bands, edge_bands)
         return out.reshape(hp, W), jnp.sum(changed)
+
+    def needs_more(e):
+        """Global fixed-point test in XLA (one dilate step): cheaper than
+        discovering convergence with a full extra sweep."""
+        zc = jnp.zeros_like(e[:, :1])
+        h = e | jnp.concatenate([e[:, 1:], zc], axis=1) \
+            | jnp.concatenate([zc, e[:, :-1]], axis=1)
+        zr = jnp.zeros_like(h[:1, :])
+        d = h | jnp.concatenate([h[1:, :], zr], axis=0) \
+            | jnp.concatenate([zr, h[:-1, :]], axis=0)
+        new = weak & d
+        return jnp.sum((new - e).astype(jnp.int32)) > 0
 
     edges, _ = sweep(strong)
 
     def body(state):
         e, _ = state
-        return sweep(e)
+        e2, _ = sweep(e)
+        return e2, needs_more(e2)
 
-    edges, _ = jax.lax.while_loop(lambda s: s[1] > 0, body,
-                                  (edges, jnp.int32(1)))
+    edges, _ = jax.lax.while_loop(lambda s: s[1], body,
+                                  (edges, needs_more(edges)))
     return jnp.where(edges[:H] > 0, jnp.int16(255), jnp.int16(0))

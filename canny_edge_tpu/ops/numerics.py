@@ -55,7 +55,7 @@ def _approx_recip(b):
     return y
 
 
-def exact_div_f32(a, b):
+def exact_div_f32(a, b, iters: int = 6, seed_recip=None):
     """Correctly rounded float32 ``a / b`` for ``a >= 0``, ``b`` positive
     normal.  Matches IEEE-754 round-to-nearest-even exactly (i.e. matches
     NumPy / x86 / XLA:CPU division bit for bit) — without emitting any
@@ -84,10 +84,11 @@ def exact_div_f32(a, b):
     (iterations are idempotent once correct).
     """
     a = a.astype(jnp.float32) if hasattr(a, "astype") else jnp.float32(a)
-    b = jnp.broadcast_to(jnp.asarray(b, jnp.float32), jnp.shape(a))
-    q = a * _approx_recip(b)
+    b = jnp.asarray(b, jnp.float32)
+    seed = _approx_recip(b) if seed_recip is None else seed_recip
+    q = a * seed
     ma, ea = _decompose(a)
-    mb, eb = _decompose(b)
+    mb, eb = _decompose(b)  # b may be a broadcastable row/col vector
 
     def fix_once(q):
         iq = jax.lax.bitcast_convert_type(q, jnp.int32)
@@ -109,9 +110,29 @@ def exact_div_f32(a, b):
         iq_new = jnp.where(ok | (r == 0), iq, iq + step)
         return jax.lax.bitcast_convert_type(iq_new, jnp.float32)
 
-    for _ in range(6):
+    for _ in range(iters):
         q = fix_once(q)
     return jnp.where(a == 0, np.float32(0), q)
+
+
+def exact_recip_f32(b):
+    """Correctly rounded 1/b (positive normal b), division-free."""
+    return exact_div_f32(jnp.ones_like(b), b)
+
+
+def exact_div_by_vector(a, b, recip=None):
+    """Correctly rounded a/b where ``b`` is a small broadcastable vector
+    (e.g. the blur's per-column renormalization counts).
+
+    The correctly rounded reciprocal of ``b`` is computed once on the small
+    vector, giving a per-pixel seed within ~1.04 ulp of a/b, so 3 fixer
+    iterations (instead of 6 from the raw Newton seed) make the full-size
+    quotient exact.
+    """
+    b = jnp.asarray(b, jnp.float32)
+    if recip is None:
+        recip = exact_recip_f32(b)
+    return exact_div_f32(a, b, iters=3, seed_recip=recip)
 
 
 def mul_const_f32(x, w: float):

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..golden.reference import gaussian_kernel
-from .numerics import (exact_div_f32, mul_const_f32, isqrt_int32,
+from .numerics import (exact_div_by_vector, isqrt_int32, mul_const_f32,
                        quantize_angle_int)
 from .shifts import (clamp_shift_cols, clamp_shift_rows, shift2d, shift_cols,
                      shift_rows)
@@ -69,7 +69,7 @@ def _gaussian_blur_with_kernel(img, kernel_vals):
         acc = acc + mul_const_f32(shift_cols(x, off), kernel[t])
         m = ((col + off) >= 0) & ((col + off) < w)
         cnt = cnt + jnp.where(m, jnp.float32(kernel[t]), jnp.float32(0))
-    temp = exact_div_f32(acc, jnp.broadcast_to(cnt, acc.shape))
+    temp = exact_div_by_vector(acc, cnt)
 
     # y pass
     row = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
@@ -80,7 +80,7 @@ def _gaussian_blur_with_kernel(img, kernel_vals):
         acc = acc + mul_const_f32(shift_rows(temp, off), kernel[t])
         m = ((row + off) >= 0) & ((row + off) < h)
         cnt = cnt + jnp.where(m, jnp.float32(kernel[t]), jnp.float32(0))
-    out = exact_div_f32(acc, jnp.broadcast_to(cnt, acc.shape))
+    out = exact_div_by_vector(acc, cnt)
     return out.astype(jnp.int16)  # truncation cast, values >= 0
 
 

@@ -28,7 +28,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..golden.reference import gaussian_kernel
-from ..ops.numerics import (exact_div_f32, mul_const_f32, isqrt_int32,
+from ..ops.numerics import (exact_div_by_vector, isqrt_int32, mul_const_f32,
                             quantize_angle_int)
 from .halo import halo_exchange_2d, halo_exchange_cols, halo_exchange_rows
 
@@ -112,7 +112,7 @@ def _blur_shard(img, kernel_vals, H: int, W: int):
         acc = acc + jnp.where(m, mul_const_f32(tap, kernel[t]),
                               jnp.float32(0.0))
         cnt = cnt + jnp.where(m, jnp.float32(kernel[t]), jnp.float32(0.0))
-    temp = exact_div_f32(acc, jnp.broadcast_to(cnt, acc.shape))
+    temp = exact_div_by_vector(acc, cnt)
 
     # y pass
     tp = halo_exchange_rows(temp, c, Y_AXIS)       # (..., hl + 2c, wl)
@@ -125,7 +125,7 @@ def _blur_shard(img, kernel_vals, H: int, W: int):
         acc = acc + jnp.where(m, mul_const_f32(tap, kernel[t]),
                               jnp.float32(0.0))
         cnt = cnt + jnp.where(m, jnp.float32(kernel[t]), jnp.float32(0.0))
-    out = exact_div_f32(acc, jnp.broadcast_to(cnt, acc.shape))
+    out = exact_div_by_vector(acc, cnt)
     return out.astype(jnp.int16)
 
 

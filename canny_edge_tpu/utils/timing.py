@@ -101,6 +101,60 @@ def profile_stages(img: np.ndarray, sigma: float, min_val: int, max_val: int,
     return report
 
 
+def checksum_slope_seconds(pipe_fn, img: np.ndarray, *, k1: int = 4,
+                           k2: int = 16, samples: int = 3,
+                           min_val: int = 30, max_val: int = 90) -> float:
+    """Per-frame seconds via the checksum-slope protocol.
+
+    Robust on environments where host<->device transfer is slow and
+    repeated identical executions may be elided: frames are derived
+    on-device in a data-dependent chain (each perturbed by the previous
+    result's checksum), timing ends at np.asarray() of a 4-byte checksum,
+    and the per-frame time is the slope between two chain lengths
+    (cancelling fixed dispatch/readback overhead).  ``pipe_fn(img, mn, mx)``
+    must map uint8 (H, W) -> int array.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    h = img.shape[-2]
+    w = img.shape[-1]
+
+    def chain(k):
+        @jax.jit
+        def run(x0, seed):
+            def body(i, carry):
+                chk, x = carry
+                x2 = jnp.roll(x, chk % 17 + i, axis=0) ^ (
+                    (chk + i) % 5).astype(jnp.uint8)
+                out = pipe_fn(x2, jnp.int32(min_val) + (chk % 3),
+                              jnp.int32(max_val))
+                chk2 = (chk * jnp.int32(16777619)
+                        + jnp.sum(out[::97, ::89].astype(jnp.int32))
+                        ) & jnp.int32(0x7FFFFFFF)
+                return chk2, x
+            chk, _ = jax.lax.fori_loop(0, k, body, (seed, x0))
+            return chk
+        return run
+
+    dev = jax.device_put(img)
+    r1, r2 = chain(k1), chain(k2)
+    int(np.asarray(r1(dev, jnp.int32(1))))
+    int(np.asarray(r2(dev, jnp.int32(1))))
+    slopes = []
+    for s in range(2, 2 + samples):
+        t0 = time.perf_counter()
+        c1 = int(np.asarray(r1(dev, jnp.int32(s))))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        c2 = int(np.asarray(r2(dev, jnp.int32(s))))
+        t2 = time.perf_counter() - t0
+        assert c1 != c2
+        slopes.append((t2 - t1) / (k2 - k1))
+    sec = float(np.median(slopes))
+    return max(sec, 1e-9)
+
+
 def throughput_chained(pipe_fn, img: np.ndarray, k: int = 20,
                        repeats: int = 3) -> float:
     """Steady-state frames/sec with K pipeline iterations chained inside one

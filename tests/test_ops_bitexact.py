@@ -192,3 +192,17 @@ def test_validation_mirrors_reference_cli():
         model(img, 0, 256)
     with pytest.raises(TypeError):
         model(img.astype(np.float32), 0, 255)
+
+
+def test_sobel_model_matches_golden(test_image):
+    from canny_edge_tpu.models import SobelTPU
+
+    model = SobelTPU(sigma=1.0)
+    mag = np.asarray(model.magnitude(test_image), np.int16)
+    sm = golden.gaussian_blur(test_image, 1.0)
+    rmag, _ = golden.sobel(sm)
+    np.testing.assert_array_equal(mag, rmag)
+    edges = np.asarray(model(test_image, 80))
+    np.testing.assert_array_equal(edges != 0, rmag >= 80)
+    with pytest.raises(ValueError):
+        model(test_image, -1)

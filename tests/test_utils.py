@@ -1,0 +1,43 @@
+"""utils: roofline model, stage profiling, trace helper."""
+
+import numpy as np
+
+from canny_edge_tpu.utils import roofline
+from canny_edge_tpu.utils.timing import profile_stages
+
+
+def test_roofline_report():
+    rep = roofline.report(
+        pixels=2_073_600,
+        measured_seconds={"gaussian": 1e-3, "sobel": 5e-4},
+        device_kind="TPU v5 lite",
+    )
+    assert "819" in rep and "gaussian" in rep
+    assert roofline.chip_bandwidth_gbps("TPU v4") == 1200.0
+    assert roofline.chip_bandwidth_gbps("unknown") == roofline.DEFAULT_BW
+    st = roofline.StageTraffic("x", 10.0)
+    assert np.isclose(st.min_seconds(1e6, 1000.0), 1e-5)
+
+
+def test_profile_stages_runs():
+    img = np.random.default_rng(0).integers(
+        0, 256, (64, 128), dtype=np.uint8)
+    rep = profile_stages(img, 1.0, 30, 90, iters=2)
+    names = [s.name for s in rep.stages]
+    assert names == ["gaussian", "sobel", "nms", "hysteresis"]
+    assert rep.total_ms > 0
+    j = rep.json()
+    assert j["image_shape"] == [64, 128]
+
+
+def test_trace_helper(tmp_path):
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.utils.trace import annotate, trace
+
+    with trace(str(tmp_path / "tr")):
+        with annotate("op"):
+            jnp.ones(8).sum().block_until_ready()
+    import os
+
+    assert any(os.scandir(tmp_path / "tr"))
