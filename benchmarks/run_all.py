@@ -36,7 +36,9 @@ def steady_state(pipe, img, k=10, repeats=3):
     """Per-run seconds via the checksum-slope protocol (see utils.timing)."""
     from canny_edge_tpu.utils.timing import checksum_slope_seconds
 
-    return checksum_slope_seconds(pipe, img, k1=max(2, k // 4), k2=k,
+    k1 = max(2, k // 4)
+    k2 = max(k, k1 + 2)
+    return checksum_slope_seconds(pipe, img, k1=k1, k2=k2,
                                   samples=min(3, repeats))
 
 

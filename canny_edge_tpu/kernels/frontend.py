@@ -77,8 +77,10 @@ def _frontend_kernel(img_ref, nm_ref, *, kernel_vals, th, tw, r, H, W):
     for t in range(window):
         off = t - c
         m = ((gcol + off) >= 0) & ((gcol + off) < W)
-        p = mul_const_f32(x[:, t:t + wo], kernel_vals[t])
-        acc = acc + jnp.where(m, p, np.float32(0.0))
+        # tiles are zero-padded beyond the global image, so out-of-bounds
+        # taps contribute exactly +0.0 — no accumulator mask needed (IEEE
+        # no-op, identical to the reference's skipped taps)
+        acc = acc + mul_const_f32(x[:, t:t + wo], kernel_vals[t])
         cnt = cnt + jnp.where(m, np.float32(kernel_vals[t]), np.float32(0))
     temp = exact_div_by_vector(acc, cnt)
 
@@ -90,8 +92,7 @@ def _frontend_kernel(img_ref, nm_ref, *, kernel_vals, th, tw, r, H, W):
     for t in range(window):
         off = t - c
         m = ((grow + off) >= 0) & ((grow + off) < H)
-        p = mul_const_f32(temp[t:t + ho, :], kernel_vals[t])
-        acc = acc + jnp.where(m, p, np.float32(0.0))
+        acc = acc + mul_const_f32(temp[t:t + ho, :], kernel_vals[t])
         cnt = cnt + jnp.where(m, np.float32(kernel_vals[t]), np.float32(0))
     sm = exact_div_by_vector(acc, cnt).astype(jnp.int32)
     # sm covers global rows [i*th-2, ...+th+4), cols [j*tw-2, ...) (margin 2)

@@ -125,14 +125,16 @@ def exact_div_by_vector(a, b, recip=None):
     (e.g. the blur's per-column renormalization counts).
 
     The correctly rounded reciprocal of ``b`` is computed once on the small
-    vector, giving a per-pixel seed within ~1.04 ulp of a/b, so 3 fixer
-    iterations (instead of 6 from the raw Newton seed) make the full-size
-    quotient exact.
+    vector, giving a per-pixel seed within ~1.04 ulp of a/b (0.5 ulp from
+    the reciprocal rounding scaled through the product + 0.5 ulp from the
+    product rounding), so 2 fixer iterations (each moves exactly 1 ulp
+    toward the correctly rounded result, which is accepted within its
+    half-ulp window) make the full-size quotient exact.
     """
     b = jnp.asarray(b, jnp.float32)
     if recip is None:
         recip = exact_recip_f32(b)
-    return exact_div_f32(a, b, iters=3, seed_recip=recip)
+    return exact_div_f32(a, b, iters=2, seed_recip=recip)
 
 
 def mul_const_f32(x, w: float):

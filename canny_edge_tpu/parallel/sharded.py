@@ -108,9 +108,9 @@ def _blur_shard(img, kernel_vals, H: int, W: int):
         tap = xp[..., :, t:t + wl]
         m = ((gcol + (t - c)) >= 0) & ((gcol + (t - c)) < W)
         # beyond-global-border halo is zero-filled => tap*k adds +0.0 there,
-        # identical to the reference's skipped out-of-bounds taps
-        acc = acc + jnp.where(m, mul_const_f32(tap, kernel[t]),
-                              jnp.float32(0.0))
+        # identical to the reference's skipped out-of-bounds taps (no
+        # accumulator mask needed)
+        acc = acc + mul_const_f32(tap, kernel[t])
         cnt = cnt + jnp.where(m, jnp.float32(kernel[t]), jnp.float32(0.0))
     temp = exact_div_by_vector(acc, cnt)
 
@@ -122,8 +122,7 @@ def _blur_shard(img, kernel_vals, H: int, W: int):
     for t in range(window):
         tap = tp[..., t:t + hl, :]
         m = ((grow + (t - c)) >= 0) & ((grow + (t - c)) < H)
-        acc = acc + jnp.where(m, mul_const_f32(tap, kernel[t]),
-                              jnp.float32(0.0))
+        acc = acc + mul_const_f32(tap, kernel[t])
         cnt = cnt + jnp.where(m, jnp.float32(kernel[t]), jnp.float32(0.0))
     out = exact_div_by_vector(acc, cnt)
     return out.astype(jnp.int16)

@@ -206,3 +206,23 @@ def test_sobel_model_matches_golden(test_image):
     np.testing.assert_array_equal(edges != 0, rmag >= 80)
     with pytest.raises(ValueError):
         model(test_image, -1)
+
+
+def test_exact_div_by_vector_adversarial():
+    """Vector-reciprocal-seeded divide (2 fixer iterations) must still be
+    correctly rounded on near-tie quotients."""
+    import jax
+
+    rng = np.random.default_rng(9)
+    h, w = 64, 512
+    b = rng.uniform(0.3, 1.7, (1, w)).astype(np.float32)
+    qs = rng.uniform(0.5, 255, (h, w)).astype(np.float32)
+    a = (qs.astype(np.float64) * b.astype(np.float64)).astype(np.float32)
+    a[0, :7] = 0.0
+    q = np.asarray(jax.jit(numerics.exact_div_by_vector)(a, b))
+    np.testing.assert_array_equal(q, a / b)
+    # column-vector divisor (the blur y-pass shape)
+    bc = rng.uniform(0.3, 1.7, (h, 1)).astype(np.float32)
+    ac = (qs.astype(np.float64) * bc.astype(np.float64)).astype(np.float32)
+    qc = np.asarray(jax.jit(numerics.exact_div_by_vector)(ac, bc))
+    np.testing.assert_array_equal(qc, ac / bc)

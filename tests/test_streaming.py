@@ -94,3 +94,33 @@ def test_multihost_single_process_degenerate():
     s = StreamStats(frames=10, batches=5, seconds=2.0, mp=1.0)
     agg = multihost.aggregate_stats(s)
     assert agg["frames"] == 10
+
+
+def test_stream_failure_mid_batch_leaves_resumable_cursor(tmp_path):
+    """A crash mid-stream must leave the cursor at the last completed batch
+    so a restart reprocesses only unfinished work."""
+    import jax.numpy as jnp
+
+    model = CannyTPU(sigma=1.0)
+    cpath = str(tmp_path / "cursor.json")
+    frames = list(frames_synthetic(32, 128, 8, seed=4))
+
+    boom = {"count": 0}
+
+    def exploding_sink(bi, r):
+        boom["count"] += 1
+        if boom["count"] == 2:
+            raise RuntimeError("injected failure")
+
+    r1 = make_runner(model, 30, 90, batch_size=2,
+                     cursor=StreamCursor(cpath))
+    with pytest.raises(RuntimeError):
+        r1.run(iter(frames), exploding_sink)
+    # batch 0 completed; batch 1's sink failed before cursor advance
+    assert StreamCursor(cpath).completed == 0
+
+    done = []
+    r2 = make_runner(model, 30, 90, batch_size=2,
+                     cursor=StreamCursor(cpath))
+    r2.run(iter(frames), lambda bi, r: done.append(bi))
+    assert done == [1, 2, 3]
