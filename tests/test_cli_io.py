@@ -100,3 +100,17 @@ def test_cli_subprocess_entrypoint(tmp_path, test_image):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr
     assert "Execution time:" in r.stdout
+
+
+def test_cli_sharded_backend(tmp_path):
+    """End-to-end CLI with the sharded backend on the CPU mesh."""
+    rc = cli_main(["synthetic:64x128x2", "1.0", "30", "90",
+                   "--backend", "sharded", "--mesh", "1x2x4", "--batch", "2",
+                   "--out-dir", str(tmp_path / "out"), "--json"])
+    assert rc == 0
+    outs = sorted(os.listdir(tmp_path / "out"))
+    assert len(outs) == 2
+    from canny_edge_tpu.io import imageio, synthetic_image as _syn
+    edges = imageio.load_grayscale(str(tmp_path / "out" / outs[0]))
+    ref = golden.canny(_syn(64, 128, seed=0), 1.0, 30, 90).astype(np.uint8)
+    np.testing.assert_array_equal(edges, ref)
