@@ -107,7 +107,17 @@ def main():
             f"({mps:.0f} MP/s)")
         return mps
 
-    results = {b: measure(b) for b in backends}
+    results = {}
+    for b in backends:
+        try:
+            results[b] = measure(b)
+        except Exception as e:  # never let one backend's failure kill the run
+            log(f"[{b}] FAILED: {type(e).__name__}: {e}")
+    if not results:
+        print(json.dumps({
+            "metric": "full-pipeline 1080p megapixels/sec/chip",
+            "value": 0.0, "unit": "MP/s/chip", "vs_baseline": 0.0}))
+        return
     backend, mps = max(results.items(), key=lambda kv: kv[1])
     log(f"best backend: {backend}  {mps:.0f} MP/s")
 
