@@ -87,8 +87,11 @@ def test_multihost_single_process_degenerate():
 
     pid, n = multihost.initialize()
     assert (pid, n) == (0, 1)
-    mesh = multihost.global_mesh(data=1, y=2, x=4)
-    assert dict(mesh.shape) == {"data": 1, "y": 2, "x": 4}
+    ndev = len(jax.devices())
+    y = 2 if ndev >= 8 else 1
+    x = ndev // y
+    mesh = multihost.global_mesh(data=1, y=y, x=x)
+    assert dict(mesh.shape) == {"data": 1, "y": y, "x": x}
     cfg = multihost.host_local_stream_config(8)
     assert cfg.num_hosts == 1 and cfg.batch_size == 8
     s = StreamStats(frames=10, batches=5, seconds=2.0, mp=1.0)
