@@ -59,52 +59,18 @@ def main():
     kernel_vals = tuple(float(v) for v in gaussian_kernel(sigma))
     backends = ["xla", "pallas"] if dev.platform != "cpu" else ["xla"]
 
-    def chain(pipe, k):
-        @jax.jit
-        def run(img, seed):
-            def body(i, carry):
-                chk, x = carry
-                # data-dependent perturbation: rows roll by checksum-derived
-                # amount, pixel xor by iteration parity — every frame unique
-                # and dependent on the previous result
-                x2 = jnp.roll(x, chk % 17 + i, axis=0) ^ ((chk + i) % 5).astype(jnp.uint8)
-                out = pipe(x2, jnp.int32(30) + (chk % 3), jnp.int32(90))
-                chk2 = (chk * jnp.int32(16777619)
-                        + jnp.sum(out[:: 97, :: 89].astype(jnp.int32))) & jnp.int32(0x7FFFFFFF)
-                return chk2, x
-            chk, _ = jax.lax.fori_loop(0, k, body, (seed, img))
-            return chk
-        return run
-
     img_dev = jax.device_put(make_image(H, W))
-    K1, K2 = 4, 20
 
     def measure(backend):
+        from canny_edge_tpu.utils.timing import checksum_slope_seconds
+
         pipe = functools.partial(canny_fn, kernel_vals=kernel_vals,
                                  hysteresis_steps=8, backend=backend)
-        run1, run2 = chain(pipe, K1), chain(pipe, K2)
         t0 = time.time()
-        c_warm = int(np.asarray(run1(img_dev, jnp.int32(1))))
-        log(f"[{backend}] compile+first chain: {time.time() - t0:.1f}s "
-            f"(checksum {c_warm})")
-        int(np.asarray(run2(img_dev, jnp.int32(1))))
-        samples = []
-        for s in (2, 3, 4):
-            t0 = time.perf_counter()
-            c1 = int(np.asarray(run1(img_dev, jnp.int32(s))))
-            t1 = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            c2 = int(np.asarray(run2(img_dev, jnp.int32(s))))
-            t2 = time.perf_counter() - t0
-            assert c1 != c2, "checksums must differ between chain lengths"
-            samples.append((t2 - t1) / (K2 - K1))
-        per_frame = float(np.median(samples))
-        if per_frame <= 0:
-            pos = [t for t in samples if t > 0]
-            per_frame = min(pos) if pos else 1e-9
+        per_frame = checksum_slope_seconds(pipe, img_dev, k1=4, k2=20)
         mps = H * W / per_frame / 1e6
-        log(f"[{backend}] per-frame (slope): {per_frame * 1000:.3f} ms "
-            f"({mps:.0f} MP/s)")
+        log(f"[{backend}] {per_frame * 1000:.3f} ms/frame ({mps:.0f} MP/s)"
+            f"  [measured in {time.time() - t0:.0f}s incl. compile]")
         return mps
 
     results = {}

@@ -75,7 +75,11 @@ def gaussian_kernel(sigma: float) -> np.ndarray:
 
     x = (np.arange(window) - center).astype(np.float32)
     arg = -(x * x / denom)                         # all float32
-    e = np.exp(arg.astype(np.float32)).astype(np.float32)
+    # expf: modern glibc's float32 exp is correctly rounded, which equals
+    # rounding the float64 exp of the (exact) float32 argument.  NumPy's
+    # native float32 np.exp is a SIMD polynomial that differs from expf by
+    # 1 ulp on ~40% of this domain and would silently redefine the kernel.
+    e = np.exp(arg.astype(np.float64)).astype(np.float32)
     # double-precision divisor: sqrt(6.2831853) [double] * sigma [float]
     d = math.sqrt(6.2831853) * float(sig)
     product = (e.astype(np.float64) / d).astype(np.float32)
@@ -362,10 +366,18 @@ def hysteresis_bfs(nm: np.ndarray, min_val: int, max_val: int) -> np.ndarray:
 
 
 def hysteresis(nm: np.ndarray, min_val: int, max_val: int) -> np.ndarray:
-    """Component-rule hysteresis; provably equal to :func:`hysteresis_bfs`.
+    """Component-rule hysteresis: EDGE(255) on every 8-connected component
+    of {nm >= min_val} containing a pixel >= max_val, NOEDGE(0) elsewhere.
 
-    EDGE(255) on every 8-connected component of {nm >= min_val} containing a
-    pixel >= max_val, NOEDGE(0) elsewhere.  Uses scipy labeling for speed.
+    Equal to :func:`hysteresis_bfs` everywhere except one reference bug the
+    framework deliberately fixes: the BFS's upper-diagonal bounds checks use
+    ``current - width > 0`` instead of ``>= 0`` (src/utils.cpp:378,399), so
+    from the pixel at (row 1, col 0) it never enqueues its top-right
+    neighbor (0, 1).  A weak pixel at (0, 1) whose only connection to a
+    strong region runs through that directed edge is EDGE under the clean
+    component rule but NOEDGE in the reference binary.  See
+    tests/test_golden.py::test_reference_bfs_row1_col0_quirk for the
+    counterexample, and docs/DESIGN.md §5.
     """
     from scipy import ndimage
 

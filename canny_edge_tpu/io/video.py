@@ -24,12 +24,22 @@ IMAGE_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".pgm", ".ppm", ".tif",
 
 def frames_from_video(path: str, max_frames: int | None = None,
                       grayscale: bool = True) -> Iterator[np.ndarray]:
-    """Decode frames from a video file (or camera index) via OpenCV."""
+    """Decode frames from a video file (or camera index) via OpenCV.
+
+    The capture is opened eagerly so a bad source raises here (where
+    callers can report it cleanly) rather than on first iteration.
+    """
     import cv2
 
     cap = cv2.VideoCapture(int(path) if str(path).isdigit() else path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video source: {path}")
+    return _video_frames(cap, max_frames, grayscale)
+
+
+def _video_frames(cap, max_frames, grayscale) -> Iterator[np.ndarray]:
+    from .imageio import bgr_to_gray as _b2g
+
     try:
         n = 0
         while max_frames is None or n < max_frames:
@@ -37,7 +47,7 @@ def frames_from_video(path: str, max_frames: int | None = None,
             if not ok:
                 break
             if grayscale:
-                frame = bgr_to_gray(frame) if frame.ndim == 3 else frame
+                frame = _b2g(frame) if frame.ndim == 3 else frame
             yield frame.astype(np.uint8)
             n += 1
     finally:
@@ -74,8 +84,11 @@ def open_source(spec: str, max_frames: int | None = None
             n = min(n, max_frames)
         return frames_synthetic(h, w, n)
     if os.path.isdir(spec):
-        it = frames_from_dir(spec)
-        return _take(it, max_frames)
+        # validate eagerly (frames_from_dir is a generator)
+        if not any(os.path.splitext(f)[1].lower() in IMAGE_EXTS
+                   for f in os.listdir(spec)):
+            raise FileNotFoundError(f"no images in directory: {spec}")
+        return _take(frames_from_dir(spec), max_frames)
     ext = os.path.splitext(spec)[1].lower()
     if ext in IMAGE_EXTS:
         return _take(iter([load_grayscale(spec)]), max_frames)

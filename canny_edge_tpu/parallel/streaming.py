@@ -151,38 +151,43 @@ class StreamingRunner:
 
         def indexed_batches():
             it = batched(self._host_shard(frames), self.batch_size,
-                         pad_to_full=True)
+                         pad_to_full=False)
             for bi, b in enumerate(it):
                 if bi <= start_after:       # resume: skip completed work
                     stats.skipped_batches += 1
                     continue
-                yield bi, b
+                real = b.shape[0]
+                if real < self.batch_size:  # pad for a stable compiled shape
+                    pad = np.zeros((self.batch_size - real,) + b.shape[1:],
+                                   b.dtype)
+                    b = np.concatenate([b, pad])
+                yield bi, real, b
 
         def put(item):
-            bi, b = item
-            return bi, b.shape, self.device_put(b)
+            bi, real, b = item
+            return bi, real, b.shape, self.device_put(b)
 
         t0 = time.perf_counter()
         pending = None
-        for bi, shape, dev_batch in DevicePrefetcher(
+        for bi, real, shape, dev_batch in DevicePrefetcher(
                 indexed_batches(), put, self.prefetch_depth):
             result = self.run_batch(dev_batch)
             if pending is not None:
                 # overlap: finalize previous batch while this one computes
                 self._finalize(pending, on_result, stats)
-            pending = (bi, shape, result)
+            pending = (bi, real, shape, result)
         if pending is not None:
             self._finalize(pending, on_result, stats)
-        jax.block_until_ready(result) if pending else None
         stats.seconds = time.perf_counter() - t0
         return stats
 
     def _finalize(self, pending, on_result, stats: StreamStats):
-        bi, shape, result = pending
+        bi, real, shape, result = pending
         host = np.asarray(result)
         if on_result is not None:
             on_result(bi, host)
         stats.batches += 1
-        stats.frames += shape[0]
-        stats.mp += float(np.prod(shape)) / 1e6
+        # count only real frames, not shape-stabilizing zero padding
+        stats.frames += real
+        stats.mp += float(real * np.prod(shape[1:])) / 1e6
         self.cursor.advance(bi)

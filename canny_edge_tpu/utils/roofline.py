@@ -43,7 +43,7 @@ XLA_STAGES = [
     StageTraffic("gaussian", 1 + 4 + 4 + 2),       # u8 in, f32 temp rw, i16 out
     StageTraffic("sobel", 2 + 4 + 2),              # i16 in, i32 mag, i16 ang
     StageTraffic("nms", 4 + 2 + 2),                # mag+ang in, i16 out
-    StageTraffic("hysteresis/iter", 1 + 1),        # i8 state rw per sweep
+    StageTraffic("hysteresis", 1 + 1),             # i8 state rw per sweep
 ]
 
 # Pallas fused path: one read + one write per pixel for the front end

@@ -45,12 +45,5 @@ def test_image() -> np.ndarray:
     return synthetic_image(256, 256)
 
 
-def synthetic_image(h: int, w: int, seed: int = 0) -> np.ndarray:
-    """Deterministic structured test image: gradients, discs, noise."""
-    rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    img = 96 + 64 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
-    img += 80 * (((xx - w / 2) ** 2 + (yy - h / 2) ** 2) < (min(h, w) / 3) ** 2)
-    img += 40 * ((xx + yy) % 97 < 31)
-    img += rng.normal(0, 6, size=(h, w))
-    return np.clip(img, 0, 255).astype(np.uint8)
+# single source of truth for the deterministic test frame
+from canny_edge_tpu.io.imageio import synthetic_image  # noqa: E402,F401

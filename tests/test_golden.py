@@ -209,7 +209,7 @@ def test_hysteresis_exact():
     np.testing.assert_array_equal(golden.hysteresis_bfs(HYST_IN, 2, 10), HYST_OUT)
 
 
-def test_hysteresis_component_rule_equals_bfs():
+def test_hysteresis_component_rule_equals_bfs_on_generic_fields():
     np.testing.assert_array_equal(golden.hysteresis(HYST_IN, 2, 10), HYST_OUT)
     rng = np.random.default_rng(42)
     for _ in range(20):
@@ -233,3 +233,23 @@ def test_pipeline_threshold_monotonicity(test_image):
     lo = golden.canny(test_image, 1.0, 30, 150)
     hi = golden.canny(test_image, 1.0, 80, 150)
     assert np.all((hi == 255) <= (lo == 255))
+
+
+def test_reference_bfs_row1_col0_quirk():
+    """Documents the one deliberate divergence from the reference BFS: its
+    upper-diagonal bounds check uses ``current - width > 0`` (not >= 0,
+    src/utils.cpp:378,399), so the pixel at (1, 0) never enqueues its
+    top-right neighbor.  hysteresis_bfs mirrors the quirk faithfully;
+    golden.hysteresis (and every TPU backend) uses the clean 8-connected
+    component rule.  See docs/DESIGN.md §5."""
+    nm = np.array([[0, 3, 0],
+                   [10, 0, 0],
+                   [0, 0, 0]], np.int16)
+    bfs = golden.hysteresis_bfs(nm, 2, 10)
+    comp = golden.hysteresis(nm, 2, 10)
+    # reference BFS: only the strong seed survives
+    np.testing.assert_array_equal(
+        bfs, np.array([[0, 0, 0], [E, 0, 0], [0, 0, 0]], np.int16))
+    # component rule: the diagonally-connected weak pixel is promoted
+    np.testing.assert_array_equal(
+        comp, np.array([[0, E, 0], [E, 0, 0], [0, 0, 0]], np.int16))

@@ -23,7 +23,7 @@ def test_stream_end_to_end_matches_golden():
     results = {}
     runner = make_runner(model, 30, 90, batch_size=2)
     stats = runner.run(iter(frames), lambda bi, r: results.update({bi: r}))
-    assert stats.batches == 4 and stats.frames == 8  # padded last batch
+    assert stats.batches == 4 and stats.frames == 7  # padding not counted
     got = np.concatenate([results[i] for i in range(4)])[:7]
     for i, f in enumerate(frames):
         np.testing.assert_array_equal(got[i], golden.canny(f, 1.0, 30, 90))
