@@ -105,7 +105,8 @@ def main():
     for b in backends:
         base = functools.partial(canny_fn, kernel_vals=kv(1.4), backend=b,
                                  hysteresis_steps=8)
-        pipe = jax.vmap(base, in_axes=(0, None, None))
+        # xla ops are batch-polymorphic; pallas kernels need vmap
+        pipe = base if b == "xla" else jax.vmap(base, in_axes=(0, None, None))
         try:
             sec = steady_state(pipe, batch, k=2 if args.quick else 5)
         except Exception as e:

@@ -84,7 +84,13 @@ class CannyTPU:
             canny_fn, kernel_vals=kernel_vals,
             hysteresis_steps=self.hysteresis_steps, backend=self.backend)
         self._single = jax.jit(base)
-        self._batched = jax.jit(jax.vmap(base, in_axes=(0, None, None)))
+        # the XLA stage ops are batch-polymorphic over leading dims, so the
+        # batched path runs them directly on (B, H, W) — avoiding vmap's
+        # while_loop batching overhead; the Pallas kernels are 2-D and vmap
+        if self.backend == "xla":
+            self._batched = self._single
+        else:
+            self._batched = jax.jit(jax.vmap(base, in_axes=(0, None, None)))
         self._intermediates = jax.jit(functools.partial(
             canny_with_intermediates, kernel_vals=kernel_vals,
             hysteresis_steps=self.hysteresis_steps))
