@@ -49,12 +49,14 @@ def canny_with_intermediates(img, min_val, max_val, *, kernel_vals,
     smoothed = stages._gaussian_blur_with_kernel(img, kernel_vals)
     mag, ang = stages.sobel(smoothed)
     nm = stages.nonmax_suppression(mag, ang)
-    out = stages.hysteresis(nm, min_val, max_val, hysteresis_steps)
+    out, frontier_iters = stages.hysteresis_with_stats(
+        nm, min_val, max_val, hysteresis_steps)
     return out, {
         "smoothed": smoothed,
         "magnitude": mag.astype(jnp.int16),
         "angle": ang,
         "nonmax": nm.astype(jnp.int16),
+        "frontier_iterations": frontier_iters,
     }
 
 

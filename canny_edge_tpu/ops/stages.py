@@ -154,19 +154,28 @@ def hysteresis(nm, min_val, max_val, steps_per_check: int = 4):
     it terminates at exactly the BFS result set.  ``steps_per_check``
     dilations run between convergence reductions to amortize the reduce.
     """
+    out, _ = hysteresis_with_stats(nm, min_val, max_val, steps_per_check)
+    return out
+
+
+def hysteresis_with_stats(nm, min_val, max_val, steps_per_check: int = 4):
+    """Like :func:`hysteresis`, also returning the number of dilation steps
+    run until convergence (the "frontier iterations" observability stat)."""
     weak = nm >= min_val
     strong = nm >= max_val
 
     def body(state):
-        edges, _ = state
+        edges, _, rounds = state
         new = edges
         for _ in range(steps_per_check):
             new = weak & _dilate8(new)
         changed = jnp.any(new != edges)
-        return new, changed
+        return new, changed, rounds + 1
 
     def cond(state):
         return state[1]
 
-    edges, _ = jax.lax.while_loop(cond, body, (strong, jnp.asarray(True)))
-    return jnp.where(edges, jnp.int16(EDGE), jnp.int16(NOEDGE))
+    edges, _, rounds = jax.lax.while_loop(
+        cond, body, (strong, jnp.asarray(True), jnp.int32(0)))
+    out = jnp.where(edges, jnp.int16(EDGE), jnp.int16(NOEDGE))
+    return out, rounds * steps_per_check

@@ -226,3 +226,12 @@ def test_exact_div_by_vector_adversarial():
     ac = (qs.astype(np.float64) * bc.astype(np.float64)).astype(np.float32)
     qc = np.asarray(jax.jit(numerics.exact_div_by_vector)(ac, bc))
     np.testing.assert_array_equal(qc, ac / bc)
+
+
+def test_hysteresis_frontier_iterations_stat(test_image):
+    model = CannyTPU(sigma=1.0)
+    out, inter = model.with_intermediates(test_image, 50, 150)
+    ref = golden.canny(test_image, 1.0, 50, 150)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    iters = int(inter["frontier_iterations"])
+    assert iters > 0  # something propagated on a real image
