@@ -103,10 +103,15 @@ def main():
     batch = np.stack([synthetic_image(1080, 1920, seed=i) for i in range(4)])
     batch = np.tile(batch, (B // 4, 1, 1))[:B]
     for b in backends:
-        base = functools.partial(canny_fn, kernel_vals=kv(1.4), backend=b,
-                                 hysteresis_steps=8)
-        # xla ops are batch-polymorphic; pallas kernels need vmap
-        pipe = base if b == "xla" else jax.vmap(base, in_axes=(0, None, None))
+        if b == "xla":
+            from canny_edge_tpu.models.canny import canny_fn_batched
+
+            pipe = functools.partial(canny_fn_batched, kernel_vals=kv(1.4),
+                                     hysteresis_steps=8)
+        else:
+            base = functools.partial(canny_fn, kernel_vals=kv(1.4), backend=b,
+                                     hysteresis_steps=8)
+            pipe = jax.vmap(base, in_axes=(0, None, None))
         try:
             sec = steady_state(pipe, batch, k=2 if args.quick else 5)
         except Exception as e:

@@ -43,6 +43,21 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
     return stages.hysteresis(nm, min_val, max_val, hysteresis_steps)
 
 
+def canny_fn_batched(imgs, min_val, max_val, *, kernel_vals,
+                     hysteresis_steps=4):
+    """Batched XLA pipeline: stages run directly on (B, H, W) (they are
+    batch-polymorphic), but the hysteresis fixed point runs per frame via
+    ``lax.map`` — a joint while_loop would iterate every frame until the
+    *slowest* converges, wasting sum(max - own) dilation sweeps across the
+    batch."""
+    smoothed = stages._gaussian_blur_with_kernel(imgs, kernel_vals)
+    mag, ang = stages.sobel(smoothed)
+    nm = stages.nonmax_suppression(mag, ang)
+    return jax.lax.map(
+        lambda x: stages.hysteresis(x, min_val, max_val, hysteresis_steps),
+        nm)
+
+
 def canny_with_intermediates(img, min_val, max_val, *, kernel_vals,
                              hysteresis_steps=4):
     """Pipeline returning per-stage intermediates (the ``-s`` equivalent)."""
@@ -86,11 +101,13 @@ class CannyTPU:
             canny_fn, kernel_vals=kernel_vals,
             hysteresis_steps=self.hysteresis_steps, backend=self.backend)
         self._single = jax.jit(base)
-        # the XLA stage ops are batch-polymorphic over leading dims, so the
-        # batched path runs them directly on (B, H, W) — avoiding vmap's
-        # while_loop batching overhead; the Pallas kernels are 2-D and vmap
+        # batched XLA path: stages on (B, H, W) directly + per-frame
+        # hysteresis convergence (see canny_fn_batched); Pallas kernels are
+        # 2-D and vmap
         if self.backend == "xla":
-            self._batched = self._single
+            self._batched = jax.jit(functools.partial(
+                canny_fn_batched, kernel_vals=kernel_vals,
+                hysteresis_steps=self.hysteresis_steps))
         else:
             self._batched = jax.jit(jax.vmap(base, in_axes=(0, None, None)))
         self._intermediates = jax.jit(functools.partial(
