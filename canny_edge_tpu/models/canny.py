@@ -44,18 +44,14 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
 
 
 def canny_fn_batched(imgs, min_val, max_val, *, kernel_vals,
-                     hysteresis_steps=4):
-    """Batched XLA pipeline: stages run directly on (B, H, W) (they are
-    batch-polymorphic), but the hysteresis fixed point runs per frame via
-    ``lax.map`` — a joint while_loop would iterate every frame until the
-    *slowest* converges, wasting sum(max - own) dilation sweeps across the
-    batch."""
-    smoothed = stages._gaussian_blur_with_kernel(imgs, kernel_vals)
-    mag, ang = stages.sobel(smoothed)
-    nm = stages.nonmax_suppression(mag, ang)
-    return jax.lax.map(
-        lambda x: stages.hysteresis(x, min_val, max_val, hysteresis_steps),
-        nm)
+                     hysteresis_steps=8):
+    """Batched XLA pipeline via tall-stacking (ops.tall): the batch runs as
+    one 2-D image with zero gap rows between frames, because XLA:TPU lowers
+    2-D stencils ~5x better than 3-D batched ones.  Bit-exact per frame."""
+    from ..ops.tall import canny_tall
+
+    return canny_tall(imgs, min_val, max_val, kernel_vals=kernel_vals,
+                      hysteresis_steps=hysteresis_steps)
 
 
 def canny_with_intermediates(img, min_val, max_val, *, kernel_vals,

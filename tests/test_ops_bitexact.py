@@ -235,3 +235,16 @@ def test_hysteresis_frontier_iterations_stat(test_image):
     np.testing.assert_array_equal(np.asarray(out), ref)
     iters = int(inter["frontier_iterations"])
     assert iters > 0  # something propagated on a real image
+
+
+@pytest.mark.parametrize("shape", [(64, 128), (37, 53)])
+@pytest.mark.parametrize("thresholds", [(30, 90), (0, 255)])
+def test_tall_batched_bitexact(shape, thresholds):
+    """Tall-stack batched execution == golden per frame, including the
+    min_val=0 flood case (gap rows must never bridge frames)."""
+    mn, mx = thresholds
+    imgs = np.stack([synthetic_image(*shape, seed=i) for i in range(5)])
+    model = CannyTPU(sigma=1.4)
+    out = np.asarray(model.batch(imgs, mn, mx))
+    for i in range(5):
+        np.testing.assert_array_equal(out[i], golden.canny(imgs[i], 1.4, mn, mx))
