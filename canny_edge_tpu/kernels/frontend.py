@@ -28,8 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.numerics import (exact_div_by_vector, isqrt_int32, mul_const_f32,
-                            quantize_angle_i32)
+from ..ops.window import window_nm
 
 _NMS_OOB = -32768
 
@@ -55,88 +54,12 @@ def make_halo_tiles(img, th: int, tw: int, r: int):
 
 
 def _frontend_kernel(img_ref, nm_ref, *, kernel_vals, th, tw, r, H, W):
-    window = len(kernel_vals)
-    c = window // 2
     i = pl.program_id(0)
     j = pl.program_id(1)
-    hp = th + 2 * r
-    wp = tw + 2 * r
-
     # Mosaic has no direct uint8->f32 cast; go through int32
-    x = img_ref[0, 0].astype(jnp.int32).astype(jnp.float32)  # (hp, wp)
-
-    # global coordinates of each padded-tile texel
-    row0 = i * th - r                                # global row of x[0, :]
-    col0 = j * tw - r
-
-    # ---- blur x pass: cols [c, wp-c) of the padded tile ----
-    wo = wp - 2 * c
-    gcol = col0 + c + jax.lax.broadcasted_iota(jnp.int32, (1, wo), 1)
-    acc = jnp.zeros((hp, wo), jnp.float32)
-    cnt = jnp.zeros((1, wo), jnp.float32)
-    for t in range(window):
-        off = t - c
-        m = ((gcol + off) >= 0) & ((gcol + off) < W)
-        # tiles are zero-padded beyond the global image, so out-of-bounds
-        # taps contribute exactly +0.0 — no accumulator mask needed (IEEE
-        # no-op, identical to the reference's skipped taps)
-        acc = acc + mul_const_f32(x[:, t:t + wo], kernel_vals[t])
-        cnt = cnt + jnp.where(m, np.float32(kernel_vals[t]), np.float32(0))
-    temp = exact_div_by_vector(acc, cnt)
-
-    # ---- blur y pass: rows [c, hp-c) -> smoothed (th+4, tw+4) ----
-    ho = hp - 2 * c
-    grow = row0 + c + jax.lax.broadcasted_iota(jnp.int32, (ho, 1), 0)
-    acc = jnp.zeros((ho, wo), jnp.float32)
-    cnt = jnp.zeros((ho, 1), jnp.float32)
-    for t in range(window):
-        off = t - c
-        m = ((grow + off) >= 0) & ((grow + off) < H)
-        acc = acc + mul_const_f32(temp[t:t + ho, :], kernel_vals[t])
-        cnt = cnt + jnp.where(m, np.float32(kernel_vals[t]), np.float32(0))
-    sm = exact_div_by_vector(acc, cnt).astype(jnp.int32)
-    # sm covers global rows [i*th-2, ...+th+4), cols [j*tw-2, ...) (margin 2)
-
-    # ---- sobel on margin-1 region (th+2, tw+2) ----
-    g2row = (row0 + c) + jax.lax.broadcasted_iota(jnp.int32, (ho - 2, 1), 0) + 1
-    g2col = (col0 + c) + jax.lax.broadcasted_iota(jnp.int32, (1, wo - 2), 1) + 1
-    center_c = sm[:, 1:-1]
-    xl = jnp.where(g2col - 1 >= 0, sm[:, :-2], center_c)
-    xr = jnp.where(g2col + 1 < W, sm[:, 2:], center_c)
-    d = xr - xl                                      # (ho, wo-2)
-    gx = (2 * d[1:-1, :]
-          + jnp.where(g2row + 1 < H, d[2:, :], 0)
-          + jnp.where(g2row - 1 >= 0, d[:-2, :], 0))
-    center_r = sm[1:-1, :]
-    xu = jnp.where(g2row - 1 >= 0, sm[:-2, :], center_r)
-    xd = jnp.where(g2row + 1 < H, sm[2:, :], center_r)
-    e = xd - xu                                      # (ho-2, wo)
-    gy = (2 * e[:, 1:-1]
-          + jnp.where(g2col + 1 < W, e[:, 2:], 0)
-          + jnp.where(g2col - 1 >= 0, e[:, :-2], 0))
-    mag = isqrt_int32(gx * gx + gy * gy)             # (th+2, tw+2)
-    ang = quantize_angle_i32(gx, gy)
-
-    # ---- nms on the core (th, tw) ----
-    g3row = i * th + jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
-    g3col = j * tw + jax.lax.broadcasted_iota(jnp.int32, (1, tw), 1)
-    m0 = mag[1:-1, 1:-1]
-
-    def nb(dr, dc):
-        v = mag[1 + dr:1 + dr + th, 1 + dc:1 + dc + tw]
-        inb = ((g3row + dr >= 0) & (g3row + dr < H)
-               & (g3col + dc >= 0) & (g3col + dc < W))
-        return jnp.where(inb, v, np.int32(_NMS_OOB))
-
-    keep0 = (m0 > nb(0, -1)) & (m0 > nb(0, 1))
-    keep45 = (m0 > nb(-1, 1)) & (m0 > nb(1, -1))
-    keep90 = (m0 > nb(-1, 0)) & (m0 > nb(1, 0))
-    keep135 = (m0 > nb(-1, -1)) & (m0 > nb(1, 1))
-    a0 = ang[1:-1, 1:-1]
-    # logical combination instead of select-on-bool (Mosaic i1 limitation)
-    keep = (((a0 == 0) & keep0) | ((a0 == 45) & keep45)
-            | ((a0 == 90) & keep90) | ((a0 == 135) & keep135))
-    nm_ref[0, 0] = jnp.where(keep, m0, 0).astype(jnp.int16)
+    x = img_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
+    nm = window_nm(x, i * th - r, j * tw - r, H, W, kernel_vals, th, tw, r)
+    nm_ref[0, 0] = nm.astype(jnp.int16)
 
 
 def frontend_nm(img, kernel_vals, *, tile=(128, 512), interpret=None):

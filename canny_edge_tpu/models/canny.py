@@ -37,21 +37,23 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
         return pallas_fused.canny_fused(
             img, min_val, max_val, kernel_vals=kernel_vals,
             hysteresis_steps=hysteresis_steps)
-    smoothed = stages._gaussian_blur_with_kernel(img, kernel_vals)
-    mag, ang = stages.sobel(smoothed)
-    nm = stages.nonmax_suppression(mag, ang)
+    from ..ops.window import frontend_nm_banded
+
+    nm = frontend_nm_banded(img, kernel_vals)
     return stages.hysteresis(nm, min_val, max_val, hysteresis_steps)
 
 
 def canny_fn_batched(imgs, min_val, max_val, *, kernel_vals,
                      hysteresis_steps=8):
-    """Batched XLA pipeline via tall-stacking (ops.tall): the batch runs as
-    one 2-D image with zero gap rows between frames, because XLA:TPU lowers
-    2-D stencils ~5x better than 3-D batched ones.  Bit-exact per frame."""
-    from ..ops.tall import canny_tall
+    """Batched XLA pipeline: ``lax.map`` of the full single-frame pipeline.
 
-    return canny_tall(imgs, min_val, max_val, kernel_vals=kernel_vals,
-                      hysteresis_steps=hysteresis_steps)
+    XLA:TPU per-pixel stencil cost grows sharply with program size, so a
+    sequence of single-frame programs (each internally band-mapped, see
+    ops.window) beats any jointly-batched formulation — measured 3197 MP/s
+    vs 1208-1350 MP/s for 3-D/tall-stacked variants on 8x1080p."""
+    return jax.lax.map(
+        lambda f: canny_fn(f, min_val, max_val, kernel_vals=kernel_vals,
+                           hysteresis_steps=hysteresis_steps), imgs)
 
 
 def canny_with_intermediates(img, min_val, max_val, *, kernel_vals,

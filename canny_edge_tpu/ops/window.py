@@ -1,0 +1,136 @@
+"""Shared windowed front-end math: blur + sobel + nms on a padded tile.
+
+One implementation of the fused front end on an (th+2r, tw+2r) float32
+window with global-coordinate border masks, used by BOTH:
+
+* the Pallas kernel (kernels/frontend.py) — called inside the kernel body
+  with program_id-derived offsets; and
+* the XLA banded front end (:func:`frontend_nm_banded`) — called inside a
+  ``lax.map`` over full-width row bands, which matters because XLA:TPU's
+  per-pixel stencil cost grows sharply with image size (measured ~4x per
+  size doubling: 30.6 GP/s at 540x1920 vs 2.1 GP/s at 4320x1920), so large
+  images run fastest as a sequence of band-sized programs.
+
+``row0``/``col0`` are the global coordinates of the window's top-left texel
+(may be traced scalars); texels beyond the global image must be zero.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .numerics import (exact_div_by_vector, isqrt_int32, mul_const_f32,
+                       quantize_angle_i32)
+
+_NMS_OOB = -32768
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def window_nm(x, row0, col0, H: int, W: int, kernel_vals, th: int, tw: int,
+              r: int):
+    """float32 (th+2r, tw+2r) zero-padded window -> int32 nm core (th, tw)."""
+    kernel = np.asarray(kernel_vals, np.float32)
+    window = kernel.shape[0]
+    c = window // 2
+    hp, wp = th + 2 * r, tw + 2 * r
+
+    # ---- blur x pass: cols [c, wp-c) of the padded window ----
+    wo = wp - 2 * c
+    gcol = col0 + c + jax.lax.broadcasted_iota(jnp.int32, (1, wo), 1)
+    acc = jnp.zeros((hp, wo), jnp.float32)
+    cnt = jnp.zeros((1, wo), jnp.float32)
+    for t in range(window):
+        off = t - c
+        m = ((gcol + off) >= 0) & ((gcol + off) < W)
+        # out-of-image texels are zero, so their taps add exact +0.0 — only
+        # the weight-count needs masking
+        acc = acc + mul_const_f32(x[:, t:t + wo], kernel[t])
+        cnt = cnt + jnp.where(m, np.float32(kernel[t]), np.float32(0))
+    temp = exact_div_by_vector(acc, cnt)
+
+    # ---- blur y pass: rows [c, hp-c) -> smoothed with margin 2 ----
+    ho = hp - 2 * c
+    grow = row0 + c + jax.lax.broadcasted_iota(jnp.int32, (ho, 1), 0)
+    acc = jnp.zeros((ho, wo), jnp.float32)
+    cnt = jnp.zeros((ho, 1), jnp.float32)
+    for t in range(window):
+        off = t - c
+        m = ((grow + off) >= 0) & ((grow + off) < H)
+        acc = acc + mul_const_f32(temp[t:t + ho, :], kernel[t])
+        cnt = cnt + jnp.where(m, np.float32(kernel[t]), np.float32(0))
+    sm = exact_div_by_vector(acc, cnt).astype(jnp.int32)
+
+    # ---- sobel on the margin-1 region ----
+    g2row = (row0 + c) + jax.lax.broadcasted_iota(jnp.int32, (ho - 2, 1), 0) + 1
+    g2col = (col0 + c) + jax.lax.broadcasted_iota(jnp.int32, (1, wo - 2), 1) + 1
+    center_c = sm[:, 1:-1]
+    xl = jnp.where(g2col - 1 >= 0, sm[:, :-2], center_c)
+    xr = jnp.where(g2col + 1 < W, sm[:, 2:], center_c)
+    d = xr - xl
+    gx = (2 * d[1:-1, :]
+          + jnp.where(g2row + 1 < H, d[2:, :], 0)
+          + jnp.where(g2row - 1 >= 0, d[:-2, :], 0))
+    center_r = sm[1:-1, :]
+    xu = jnp.where(g2row - 1 >= 0, sm[:-2, :], center_r)
+    xd = jnp.where(g2row + 1 < H, sm[2:, :], center_r)
+    e = xd - xu
+    gy = (2 * e[:, 1:-1]
+          + jnp.where(g2col + 1 < W, e[:, 2:], 0)
+          + jnp.where(g2col - 1 >= 0, e[:, :-2], 0))
+    mag = isqrt_int32(gx * gx + gy * gy)
+    ang = quantize_angle_i32(gx, gy)
+
+    # ---- nms on the core (th, tw) ----
+    g3row = (row0 + r) + jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
+    g3col = (col0 + r) + jax.lax.broadcasted_iota(jnp.int32, (1, tw), 1)
+    m0 = mag[1:-1, 1:-1]
+
+    def nb(dr, dc):
+        v = mag[1 + dr:1 + dr + th, 1 + dc:1 + dc + tw]
+        inb = ((g3row + dr >= 0) & (g3row + dr < H)
+               & (g3col + dc >= 0) & (g3col + dc < W))
+        return jnp.where(inb, v, np.int32(_NMS_OOB))
+
+    keep0 = (m0 > nb(0, -1)) & (m0 > nb(0, 1))
+    keep45 = (m0 > nb(-1, 1)) & (m0 > nb(1, -1))
+    keep90 = (m0 > nb(-1, 0)) & (m0 > nb(1, 0))
+    keep135 = (m0 > nb(-1, -1)) & (m0 > nb(1, 1))
+    a0 = ang[1:-1, 1:-1]
+    # logical combination instead of select-on-bool (Mosaic i1 limitation)
+    keep = (((a0 == 0) & keep0) | ((a0 == 45) & keep45)
+            | ((a0 == 90) & keep90) | ((a0 == 135) & keep135))
+    return jnp.where(keep, m0, 0)
+
+
+def frontend_nm_banded(img, kernel_vals, *, band_h: int = 512):
+    """uint8 (H, W) -> int32 NMS magnitude (H, W): XLA band-mapped front end.
+
+    Full-width row bands with stencil halos run sequentially under
+    ``lax.map``, each as a band-sized 2-D program (the size regime where
+    XLA's stencil throughput peaks).  Bit-exact vs the stage composition.
+    """
+    H, W = img.shape
+    window = len(kernel_vals)
+    c = window // 2
+    r = c + 2
+    band_h = min(band_h, max(8, H))
+    nb = cdiv(H, band_h)
+    hp = nb * band_h
+
+    padded = jnp.pad(img, ((r, hp - H + r), (r, r))).astype(jnp.float32)
+    bands = jnp.stack([padded[i * band_h:i * band_h + band_h + 2 * r, :]
+                       for i in range(nb)])
+    row0s = jnp.arange(nb, dtype=jnp.int32) * band_h - r
+
+    def one(args):
+        band, row0 = args
+        return window_nm(band, row0, jnp.int32(-r), H, W, kernel_vals,
+                         band_h, W, r)
+
+    nm = jax.lax.map(one, (bands, row0s))
+    return nm.reshape(hp, W)[:H]
