@@ -37,11 +37,10 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
         return pallas_fused.canny_fused(
             img, min_val, max_val, kernel_vals=kernel_vals,
             hysteresis_steps=hysteresis_steps)
-    from ..ops.window import frontend_nm_banded, hysteresis_xla_banded
+    from ..ops.window import frontend_nm_banded
 
     nm = frontend_nm_banded(img, kernel_vals)
-    return hysteresis_xla_banded(nm, min_val, max_val,
-                                 steps_per_check=hysteresis_steps)
+    return stages.hysteresis(nm, min_val, max_val, hysteresis_steps)
 
 
 def canny_fn_batched(imgs, min_val, max_val, *, kernel_vals,

@@ -134,49 +134,3 @@ def frontend_nm_banded(img, kernel_vals, *, band_h: int = 512):
 
     nm = jax.lax.map(one, (bands, row0s))
     return nm.reshape(hp, W)[:H]
-
-
-def hysteresis_xla_banded(nm, min_val, max_val, *, steps_per_check: int = 8,
-                          band_h: int = 512):
-    """Hysteresis fixed point with band-mapped dilation steps.
-
-    Identical to stages.hysteresis (K masked 3x3 dilations per convergence
-    check) but each K-step block runs as full-width row bands with K-row
-    halos under ``lax.map`` — the band-sized programs sit at XLA:TPU's
-    stencil throughput peak.  Boolean semantics make band/global execution
-    trivially identical.
-    """
-    H, W = nm.shape
-    k = steps_per_check
-    band_h = min(band_h, max(8, H))
-    nb = cdiv(H, band_h)
-    hp = nb * band_h
-
-    weak = jnp.pad(nm >= min_val, ((0, hp - H), (0, 0)))
-    strong = jnp.pad(nm >= max_val, ((0, hp - H), (0, 0)))
-
-    def to_bands(e):
-        p = jnp.pad(e, ((k, k), (0, 0)))
-        return jnp.stack([p[i * band_h:i * band_h + band_h + 2 * k, :]
-                          for i in range(nb)])
-
-    weak_bands = to_bands(weak)
-
-    def dilate_k(args):
-        e, w = args
-        for _ in range(k):
-            h = e | jnp.pad(e[:, 1:], ((0, 0), (0, 1))) \
-                | jnp.pad(e[:, :-1], ((0, 0), (1, 0)))
-            e = w & (h | jnp.pad(h[1:, :], ((0, 1), (0, 0)))
-                     | jnp.pad(h[:-1, :], ((1, 0), (0, 0))))
-        return e
-
-    def body(state):
-        e, _ = state
-        new_b = jax.lax.map(dilate_k, (to_bands(e), weak_bands))
-        new = new_b[:, k:-k, :].reshape(hp, W)
-        return new, jnp.any(new != e)
-
-    edges, _ = jax.lax.while_loop(lambda s: s[1], body,
-                                  (strong, jnp.asarray(True)))
-    return jnp.where(edges[:H], jnp.int16(255), jnp.int16(0))
