@@ -104,6 +104,10 @@ def test_cli_subprocess_entrypoint(tmp_path, test_image):
 
 def test_cli_sharded_backend(tmp_path):
     """End-to-end CLI with the sharded backend on the CPU mesh."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices for the 1x2x4 mesh")
     rc = cli_main(["synthetic:64x128x2", "1.0", "30", "90",
                    "--backend", "sharded", "--mesh", "1x2x4", "--batch", "2",
                    "--out-dir", str(tmp_path / "out"), "--json"])
