@@ -1,0 +1,185 @@
+"""Component-level TPU profiling with the checksum-slope protocol.
+
+Measures each pipeline component in isolation (and some counterfactual
+variants) so optimization effort goes where the time actually is.  Prints
+one line per component: name, per-call ms, effective GP/s, compile seconds.
+
+Usage: python benchmarks/profile_components.py [component ...]
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def make_image(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = 96 + 64 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+    img += 80 * (((xx - w / 2) ** 2 + (yy - h / 2) ** 2) < (min(h, w) / 3) ** 2)
+    img += rng.normal(0, 6, size=(h, w))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def slope_ms(fn, img_dev, k1=4, k2=16):
+    """Per-call ms of fn(uint8 image)->int array, checksum-slope protocol."""
+    import jax
+    import jax.numpy as jnp
+
+    def chain(k):
+        @jax.jit
+        def run(x0, seed):
+            def body(i, carry):
+                chk, x = carry
+                x2 = jnp.roll(x, chk % 13 + i, axis=0) ^ (
+                    (chk + i) % 5).astype(jnp.uint8)
+                out = fn(x2)
+                chk2 = (chk * jnp.int32(16777619)
+                        + jnp.sum(out[::97, ::89].astype(jnp.int32))
+                        ) & jnp.int32(0x7FFFFFFF)
+                return chk2, x
+            chk, _ = jax.lax.fori_loop(0, k, body, (seed, x0))
+            return chk
+        return run
+
+    r1, r2 = chain(k1), chain(k2)
+    t0 = time.perf_counter()
+    int(np.asarray(r1(img_dev, jnp.int32(1))))
+    int(np.asarray(r2(img_dev, jnp.int32(1))))
+    compile_s = time.perf_counter() - t0
+    slopes = []
+    for s in range(2, 5):
+        t0 = time.perf_counter()
+        c1 = int(np.asarray(r1(img_dev, jnp.int32(s))))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        c2 = int(np.asarray(r2(img_dev, jnp.int32(s))))
+        t2 = time.perf_counter() - t0
+        assert c1 != c2, "chain results identical: elision suspected"
+        slopes.append((t2 - t1) / (k2 - k1))
+    return float(np.median(slopes)) * 1e3, compile_s
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.golden.reference import gaussian_kernel
+    from canny_edge_tpu.kernels.frontend import frontend_nm, make_halo_tiles
+    from canny_edge_tpu.kernels.hysteresis_v2 import hysteresis_banded
+    from canny_edge_tpu.ops import stages
+    from canny_edge_tpu.ops.window import frontend_nm_banded, window_nm
+
+    H, W = 1080, 1920
+    sigma = 1.4
+    kernel_vals = tuple(float(v) for v in gaussian_kernel(sigma))
+    mp = H * W / 1e6
+    sel = sys.argv[1:]
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind} ({dev.platform})  image {H}x{W} "
+        f"sigma={sigma} window={len(kernel_vals)}")
+
+    img = make_image(H, W)
+    img_dev = jax.device_put(img)
+
+    # -- component definitions (each: uint8 (H, W) -> int array) --
+    def fe_xla(x):
+        return frontend_nm_banded(x, kernel_vals)
+
+    def fe_pallas(x):
+        return frontend_nm(x, kernel_vals, interpret=False)
+
+    def restack_only(x):
+        t = make_halo_tiles(x, 128, 512, 7)
+        return t[:, :, 0, :].astype(jnp.int32).sum(axis=0)
+
+    def hyst_xla(x):
+        nm = x.astype(jnp.int32) * 2  # fake nm from uint8
+        return stages.hysteresis(nm, jnp.int32(60), jnp.int32(180), 8)
+
+    def hyst_banded(x):
+        nm = x.astype(jnp.int32) * 2
+        return hysteresis_banded(nm, jnp.int32(60), jnp.int32(180),
+                                 interpret=False)
+
+    def full_xla(x):
+        nm = frontend_nm_banded(x, kernel_vals)
+        return stages.hysteresis(nm, jnp.int32(30), jnp.int32(90), 8)
+
+    def full_pallas(x):
+        nm = frontend_nm(x, kernel_vals, interpret=False)
+        return hysteresis_banded(nm, jnp.int32(30), jnp.int32(90),
+                                 interpret=False)
+
+    from canny_edge_tpu.ops.packed import hysteresis_packed
+
+    def hyst_packed(x):
+        nm = x.astype(jnp.int32) * 2
+        return hysteresis_packed(nm, jnp.int32(60), jnp.int32(180))
+
+    def full_xla_packed(x):
+        nm = frontend_nm_banded(x, kernel_vals)
+        return hysteresis_packed(nm, jnp.int32(30), jnp.int32(90))
+
+    # counterfactual: taps only, plain div (NOT bit-exact; perf model only)
+    def fe_xla_plaindiv(x):
+        kernel = np.asarray(kernel_vals, np.float32)
+        window = kernel.shape[0]
+        c = window // 2
+        xf = x.astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        acc = jnp.zeros_like(xf)
+        cnt = jnp.zeros((1, W), jnp.float32)
+        from canny_edge_tpu.ops.shifts import shift_cols, shift_rows
+        for t in range(window):
+            off = t - c
+            acc = acc + shift_cols(xf, off) * kernel[t]
+            m = ((col + off) >= 0) & ((col + off) < W)
+            cnt = cnt + jnp.where(m, kernel[t], np.float32(0))
+        temp = acc * (1.0 / cnt)
+        row = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+        acc = jnp.zeros_like(temp)
+        cnt = jnp.zeros((H, 1), jnp.float32)
+        for t in range(window):
+            off = t - c
+            acc = acc + shift_rows(temp, off) * kernel[t]
+            m = ((row + off) >= 0) & ((row + off) < H)
+            cnt = cnt + jnp.where(m, kernel[t], np.float32(0))
+        sm = (acc * (1.0 / cnt)).astype(jnp.int32)
+        mag, ang = stages.sobel(sm.astype(jnp.int16))
+        return stages.nonmax_suppression(mag, ang)
+
+    comps = {
+        "fe_xla": fe_xla,
+        "fe_pallas": fe_pallas,
+        "restack_only": restack_only,
+        "hyst_xla": hyst_xla,
+        "hyst_banded": hyst_banded,
+        "full_xla": full_xla,
+        "full_pallas": full_pallas,
+        "fe_xla_plaindiv": fe_xla_plaindiv,
+        "hyst_packed": hyst_packed,
+        "full_xla_packed": full_xla_packed,
+    }
+    for name, fn in comps.items():
+        if sel and name not in sel:
+            continue
+        try:
+            ms, cs = slope_ms(fn, img_dev)
+            log(f"{name:<18} {ms:8.3f} ms  {mp / ms * 1e3:8.0f} MP/s   "
+                f"compile {cs:5.1f}s")
+        except Exception as e:
+            log(f"{name:<18} FAILED: {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()

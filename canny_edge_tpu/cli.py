@@ -74,9 +74,26 @@ def validate_args(args) -> None:
         raise SystemExit("ERROR: sigma must be positive")
 
 
+def _apply_platform_env() -> None:
+    """Honor JAX_PLATFORMS even when the runtime pre-imports jax.
+
+    Some environments pre-import jax at interpreter startup (TPU plugin
+    sitecustomize), in which case the JAX_PLATFORMS env var has already been
+    read by the time user code runs; re-applying it via the live config
+    before backend initialization restores the documented behavior."""
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass  # backend already initialized; nothing to do
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     validate_args(args)
+    _apply_platform_env()
 
     from .io import imageio, video
 

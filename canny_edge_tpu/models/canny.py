@@ -37,10 +37,14 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
         return pallas_fused.canny_fused(
             img, min_val, max_val, kernel_vals=kernel_vals,
             hysteresis_steps=hysteresis_steps)
+    from ..ops.packed import hysteresis_packed
     from ..ops.window import frontend_nm_banded
 
     nm = frontend_nm_banded(img, kernel_vals)
-    return stages.hysteresis(nm, min_val, max_val, hysteresis_steps)
+    # bit-packed flood: same fixed point as stages.hysteresis, ~3-6x faster
+    # (ops/packed.py); inner_dilate=4 balances diagonal-chain progress per
+    # round against round cost
+    return hysteresis_packed(nm, min_val, max_val, inner_dilate=4)
 
 
 def canny_fn_batched(imgs, min_val, max_val, *, kernel_vals,

@@ -185,12 +185,22 @@ def _nms_shard(mag, ang, H: int, W: int):
     return jnp.where(keep, m, NOEDGE)
 
 
-def _hysteresis_shard(nm, min_val, max_val, steps_per_round: int = 8):
+def _hysteresis_shard(nm, min_val, max_val, H, W, steps_per_round: int = 8):
     """Distributed fixed point: K-wide halo exchange + K local dilations per
-    round, terminated by a global psum of the changed count."""
+    round, terminated by a global psum of the changed count.
+
+    ``H``/``W`` are the *true* image dims: texels in the bottom/right padding
+    introduced for non-divisible shapes are masked out of the weak set so
+    padding can never bridge two real components (relevant when min_val=0,
+    where every padding zero would otherwise count as weak)."""
     k = steps_per_round
-    weak = nm >= min_val
-    strong = nm >= max_val
+    hl, wl = nm.shape[-2], nm.shape[-1]
+    gr0, gc0 = _global_offsets(hl, wl)
+    grow = gr0 + lax.broadcasted_iota(jnp.int32, (hl, 1), 0)
+    gcol = gc0 + lax.broadcasted_iota(jnp.int32, (1, wl), 1)
+    in_image = (grow < H) & (gcol < W)
+    weak = (nm >= min_val) & in_image
+    strong = (nm >= max_val) & in_image
     # weak mask is loop-invariant: exchange its halo once
     wk = halo_exchange_2d(weak.astype(jnp.int8), k, Y_AXIS, X_AXIS) > 0
 
@@ -236,15 +246,19 @@ def _canny_shard(img, min_val, max_val, *, kernel_vals, H, W,
     smoothed = _blur_shard(img, kernel_vals, H, W)
     mag, ang = _sobel_shard(smoothed, H, W)
     nm = _nms_shard(mag, ang, H, W)
-    return _hysteresis_shard(nm, min_val, max_val, hysteresis_steps)
+    return _hysteresis_shard(nm, min_val, max_val, H, W, hysteresis_steps)
 
 
 class ShardedCanny:
     """Batch-of-frames Canny over a ("data", "y", "x") device mesh.
 
-    Input: uint8 (B, H, W) with B % data == 0, H % y == 0, W % x == 0
-    (pad the batch/image if needed).  Output: int16 {0,255} (B, H, W),
-    sharded the same way.
+    Input: uint8 (B, H, W) with B % data == 0.  Arbitrary H, W: images whose
+    dims do not divide the spatial mesh are zero-padded internally to the
+    shard grid (SURVEY §7 hard part 5 — the reference GPU path silently
+    *drops* non-divisible remainders, src/cuda.cu:121-122); the stage math
+    applies the true-border semantics via global-coordinate masks, and the
+    padding is sliced off the output, so results are bit-exact vs the
+    single-chip path at every shape.  Output: int16 {0,255} (B, H, W).
 
     Example::
 
@@ -261,14 +275,13 @@ class ShardedCanny:
         self.H, self.W = image_shape
         ny = mesh.shape[Y_AXIS]
         nx = mesh.shape[X_AXIS]
-        if self.H % ny or self.W % nx:
-            raise ValueError(
-                f"image {image_shape} not divisible by spatial mesh ({ny},{nx})")
         c = len(self.kernel) // 2
-        if self.H // ny < max(c, hysteresis_steps) or \
-           self.W // nx < max(c, hysteresis_steps):
-            raise ValueError("shard smaller than halo width; use fewer devices"
-                             " or smaller sigma/hysteresis_steps")
+        halo = max(c, hysteresis_steps, 1)
+        # per-shard dims: ceil-divide, then grow to the widest halo any stage
+        # exchanges (ppermute sources a full strip from each neighbor)
+        hl = max(-(-self.H // ny), halo)
+        wl = max(-(-self.W // nx), halo)
+        self.Hp, self.Wp = hl * ny, wl * nx
         kernel_vals = tuple(float(v) for v in self.kernel)
 
         fn = functools.partial(
@@ -285,10 +298,19 @@ class ShardedCanny:
         self._in_sharding = NamedSharding(mesh, spec)
 
     def shard_batch(self, imgs: np.ndarray):
-        """Place a host batch onto the mesh with the pipeline's sharding."""
+        """Pad a host batch to the shard grid and place it onto the mesh."""
+        imgs = np.asarray(imgs)
+        ph, pw = self.Hp - imgs.shape[-2], self.Wp - imgs.shape[-1]
+        if ph or pw:
+            imgs = np.pad(imgs, ((0, 0), (0, ph), (0, pw)))
         return jax.device_put(imgs, self._in_sharding)
 
     def __call__(self, imgs, min_val: int, max_val: int):
         if imgs.ndim != 3:
             raise ValueError("expected (B, H, W)")
-        return self._fn(imgs, jnp.int32(min_val), jnp.int32(max_val))
+        if imgs.shape[1:] == (self.H, self.W) and \
+                (self.H, self.W) != (self.Hp, self.Wp):
+            imgs = jnp.pad(imgs, ((0, 0), (0, self.Hp - self.H),
+                                  (0, self.Wp - self.W)))
+        out = self._fn(imgs, jnp.int32(min_val), jnp.int32(max_val))
+        return out[:, :self.H, :self.W]

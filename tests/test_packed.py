@@ -1,0 +1,157 @@
+"""Bit-packed hysteresis (ops.packed): equivalence vs the golden BFS.
+
+The packed fixed point must land on exactly the BFS result set
+(src/utils.cpp:322-427) for every topology: generic images, serpentine
+chains, inward spirals, widths not divisible by 32, and min_val=0.
+"""
+
+import numpy as np
+import pytest
+
+from canny_edge_tpu import golden
+from tests.conftest import synthetic_image
+
+
+def _nm(img, sigma=1.0):
+    sm = golden.gaussian_blur(img, sigma)
+    return golden.nonmax_suppression(*golden.sobel(sm))
+
+
+def test_pack_unpack_roundtrip():
+    import jax
+
+    from canny_edge_tpu.ops.packed import pack_mask, unpack_mask
+
+    rng = np.random.default_rng(0)
+    for w in (32, 64, 61, 250, 129):
+        mask = rng.integers(0, 2, (17, w)).astype(bool)
+        packed = jax.jit(pack_mask)(mask)
+        assert packed.dtype == np.uint32
+        assert packed.shape == (17, -(-w // 32))
+        back = np.asarray(unpack_mask(packed, w))
+        np.testing.assert_array_equal(back, mask)
+
+
+@pytest.mark.parametrize("thresholds", [(50, 150), (2, 10), (0, 1)])
+def test_hysteresis_packed_bitexact(thresholds, test_image):
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.ops.packed import hysteresis_packed
+
+    mn, mx = thresholds
+    nm = _nm(test_image)
+    out = np.asarray(jax.jit(
+        lambda x: hysteresis_packed(x.astype(jnp.int32), mn, mx))(nm))
+    np.testing.assert_array_equal(out, golden.hysteresis(nm, mn, mx))
+
+
+@pytest.mark.parametrize("shape", [(64, 250), (33, 33), (8, 96)])
+def test_hysteresis_packed_odd_widths(shape):
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.ops.packed import hysteresis_packed
+
+    nm = _nm(synthetic_image(*shape, seed=9))
+    out = np.asarray(jax.jit(
+        lambda x: hysteresis_packed(x.astype(jnp.int32), 20, 60))(nm))
+    np.testing.assert_array_equal(out, golden.hysteresis(nm, 20, 60))
+
+
+def test_hysteresis_packed_snake():
+    """Serpentine chain: propagation must cross word and flood boundaries."""
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.ops.packed import hysteresis_packed
+
+    H, W = 128, 256
+    nm = np.zeros((H, W), np.int16)
+    for r in range(4, H - 4, 8):
+        nm[r, 4:W - 4] = 30
+    for i, r in enumerate(range(4, H - 12, 8)):
+        c = W - 5 if i % 2 == 0 else 4
+        nm[r:r + 9, c] = 30
+    nm[4, 4] = 200
+    out = np.asarray(jax.jit(
+        lambda x: hysteresis_packed(x.astype(jnp.int32), 10, 100))(nm))
+    ref = golden.hysteresis(nm, 10, 100)
+    np.testing.assert_array_equal(out, ref)
+    assert (out == 255).sum() > 1000
+
+
+def test_hysteresis_packed_spiral():
+    """Inward spiral: many direction changes stress the round structure."""
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.ops.packed import hysteresis_packed
+
+    nm = np.zeros((40, 40), np.int16)
+    r0, c0, r1, c1 = 0, 0, 39, 39
+    pts = []
+    while r0 <= r1 and c0 <= c1:
+        for c in range(c0, c1 + 1):
+            pts.append((r0, c))
+        for r in range(r0 + 1, r1 + 1):
+            pts.append((r, c1))
+        if r0 < r1:
+            for c in range(c1 - 1, c0 - 1, -1):
+                pts.append((r1, c))
+        if c0 < c1:
+            for r in range(r1 - 1, r0 + 1, -1):
+                pts.append((r, c0))
+        r0 += 2; c0 += 2; r1 -= 2; c1 -= 2
+    for (r, c) in pts:
+        nm[r, c] = 30
+    nm[pts[-1]] = 200
+    out = np.asarray(jax.jit(
+        lambda x: hysteresis_packed(x.astype(jnp.int32), 10, 100))(nm))
+    np.testing.assert_array_equal(out, golden.hysteresis(nm, 10, 100))
+
+
+def test_hysteresis_packed_diagonal_line():
+    """Pure 45-degree chain: only the dilation steps advance it."""
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.ops.packed import hysteresis_packed
+
+    n = 96
+    nm = np.zeros((n, n), np.int16)
+    for i in range(2, n - 2):
+        nm[i, i] = 30
+    nm[2, 2] = 200
+    out = np.asarray(jax.jit(
+        lambda x: hysteresis_packed(x.astype(jnp.int32), 10, 100))(nm))
+    np.testing.assert_array_equal(out, golden.hysteresis(nm, 10, 100))
+    assert (out == 255).sum() == n - 4
+
+
+def test_hysteresis_packed_batched(test_image):
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.ops.packed import hysteresis_packed
+
+    nms = np.stack([_nm(test_image), _nm(synthetic_image(256, 256, seed=4))])
+    out = np.asarray(jax.jit(
+        lambda x: hysteresis_packed(x.astype(jnp.int32), 30, 90))(nms))
+    for i in range(2):
+        np.testing.assert_array_equal(out[i],
+                                      golden.hysteresis(nms[i], 30, 90))
+
+
+def test_hysteresis_packed_stats(test_image):
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.ops.packed import hysteresis_packed_with_stats
+
+    nm = _nm(test_image)
+    out, rounds = jax.jit(lambda x: hysteresis_packed_with_stats(
+        x.astype(jnp.int32), 30, 90))(nm)
+    assert int(rounds) >= 1
+    np.testing.assert_array_equal(np.asarray(out),
+                                  golden.hysteresis(nm, 30, 90))

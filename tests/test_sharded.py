@@ -73,11 +73,44 @@ def test_sharded_snaking_edge_crosses_shards():
     np.testing.assert_array_equal(out[0], ref)
 
 
-def test_mesh_validation():
+@pytest.mark.parametrize("shape,min_val", [
+    ((129, 250), 30),    # neither dim divides the 2x4 spatial mesh
+    ((127, 253), 0),     # min_val=0: every pixel weak; padding must not
+                         # bridge components or join the weak set
+])
+def test_sharded_nondivisible_pad_mask(shape, min_val):
+    """SURVEY §7 hard part 5: arbitrary dims shard via internal pad+mask
+    (the reference GPU path silently drops remainders, src/cuda.cu:121-122)."""
     mesh = make_mesh(data=1, y=2, x=4)
-    with pytest.raises(ValueError):
-        ShardedCanny(mesh, sigma=1.0, image_shape=(128, 250))  # 250 % 4 != 0
-    with pytest.raises(ValueError):
-        # shard (8, 8) smaller than the 16-wide hysteresis halo
-        ShardedCanny(make_mesh(data=1, y=2, x=4), sigma=2.0,
-                     image_shape=(16, 32), hysteresis_steps=16)
+    H, W = shape
+    model = ShardedCanny(mesh, sigma=1.0, image_shape=(H, W))
+    assert model.Hp % 2 == 0 and model.Wp % 4 == 0
+    img = synthetic_image(H, W, seed=11)
+    out = np.asarray(model(model.shard_batch(img[None]), min_val, 90))
+    assert out.shape == (1, H, W)
+    ref = golden.canny(img, 1.0, min_val, 90)
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_sharded_tiny_image_pads_to_halo():
+    """Shards smaller than the widest halo are grown by padding instead of
+    rejected (the round-1 ValueError)."""
+    mesh = make_mesh(data=1, y=2, x=4)
+    H, W = 16, 32   # raw shard (8, 8) < 16-wide hysteresis halo
+    model = ShardedCanny(mesh, sigma=2.0, image_shape=(H, W),
+                         hysteresis_steps=16)
+    img = synthetic_image(H, W, seed=3)
+    out = np.asarray(model(model.shard_batch(img[None]), 20, 60))
+    ref = golden.canny(img, 2.0, 20, 60)
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_sharded_call_pads_unpadded_input():
+    """__call__ accepts an unpadded (B, H, W) batch directly."""
+    mesh = make_mesh(data=1, y=2, x=4)
+    H, W = 66, 130
+    model = ShardedCanny(mesh, sigma=1.0, image_shape=(H, W))
+    img = synthetic_image(H, W, seed=7)
+    out = np.asarray(model(img[None], 30, 90))
+    ref = golden.canny(img, 1.0, 30, 90)
+    np.testing.assert_array_equal(out[0], ref)
