@@ -65,14 +65,43 @@ def main():
         B = args.frames_per_device
         imgs = np.stack([synthetic_image(H, W, seed=i) for i in range(B)])
         dev_imgs = model.shard_batch(imgs)
-        out = model(dev_imgs, 30, 90)
-        out.block_until_ready()
-        reps = 5
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = model(dev_imgs, 30, 90)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / reps
+
+        # checksum-slope protocol (DESIGN.md §4): plain block_until_ready
+        # wall timing is untrustworthy in this environment (execution
+        # elision, async tunnel) — chain K data-dependent runs on device and
+        # take the slope between two chain lengths.
+        def chain(k):
+            @jax.jit
+            def run(x0, seed):
+                def body(i, carry):
+                    chk, x = carry
+                    x2 = jnp.roll(x, chk % 7 + i, axis=1) ^ (
+                        (chk + i) % 5).astype(jnp.uint8)
+                    out = model._fn(x2, jnp.int32(30) + (chk % 3),
+                                    jnp.int32(90))
+                    chk2 = (chk * jnp.int32(16777619)
+                            + jnp.sum(out[:, ::31, ::37].astype(jnp.int32))
+                            ) & jnp.int32(0x7FFFFFFF)
+                    return chk2, x
+                chk, _ = jax.lax.fori_loop(0, k, body, (seed, x0))
+                return chk
+            return run
+
+        k1, k2 = 2, 8
+        r1, r2 = chain(k1), chain(k2)
+        int(np.asarray(r1(dev_imgs, jnp.int32(1))))      # compile
+        int(np.asarray(r2(dev_imgs, jnp.int32(1))))
+        slopes = []
+        for s in (2, 3, 4):
+            t0 = time.perf_counter()
+            c1 = int(np.asarray(r1(dev_imgs, jnp.int32(s))))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            c2 = int(np.asarray(r2(dev_imgs, jnp.int32(s))))
+            t2 = time.perf_counter() - t0
+            assert c1 != c2, "identical checksums: execution elision suspected"
+            slopes.append((t2 - t1) / (k2 - k1))
+        dt = float(np.median(slopes))
         tput = imgs.size / dt / 1e6          # MP/s total
         per_dev = tput / n
         if base_tput is None:

@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="xla",
                    choices=["xla", "pallas", "sharded", "golden"],
                    help="execution backend (default: xla single chip)")
+    p.add_argument("--hysteresis", default="component",
+                   choices=["component", "strict-reference"],
+                   help="hysteresis rule: clean 8-connected components, or "
+                        "the reference binary's BFS including its bounds "
+                        "quirk (src/utils.cpp:378,399)")
     p.add_argument("--batch", type=int, default=1,
                    help="frames per device batch")
     p.add_argument("--max-frames", type=int, default=None)
@@ -72,6 +77,11 @@ def validate_args(args) -> None:
         raise SystemExit("ERROR: maxVal must be in the range of [0,255]")
     if args.sigma <= 0:
         raise SystemExit("ERROR: sigma must be positive")
+    if args.hysteresis == "strict-reference" and args.backend == "sharded":
+        raise SystemExit("ERROR: strict-reference hysteresis is a "
+                         "single-chip contract mode (the quirk pixel lives "
+                         "at a fixed global corner); use backend xla, "
+                         "pallas, or golden")
 
 
 def _apply_platform_env() -> None:
@@ -105,10 +115,17 @@ def main(argv=None) -> int:
     if args.backend == "golden":
         from . import golden
 
+        hyst = (golden.hysteresis_strict
+                if args.hysteresis == "strict-reference"
+                else golden.hysteresis)
+
         def run_batch(batch):
-            return np.stack([
-                golden.canny(f, args.sigma, args.min_val, args.max_val)
-                for f in batch])
+            outs = []
+            for f in batch:
+                sm = golden.gaussian_blur(f, args.sigma)
+                nm = golden.nonmax_suppression(*golden.sobel(sm))
+                outs.append(hyst(nm, args.min_val, args.max_val))
+            return np.stack(outs)
     elif args.backend == "sharded":
         import jax
 
@@ -121,15 +138,29 @@ def main(argv=None) -> int:
             mesh = make_mesh(data=d, y=y, x=x)
         else:
             mesh = make_mesh()
+        ndata = mesh.shape["data"]
+        if args.batch % ndata:
+            raise SystemExit(f"ERROR: --batch {args.batch} must be a "
+                             f"multiple of the mesh data axis ({ndata})")
         model = ShardedCanny(mesh, args.sigma, first.shape)
 
         def run_batch(batch):
-            return np.asarray(model(model.shard_batch(batch),
-                                    args.min_val, args.max_val))
+            # pad short final batches to the compiled batch size (keeps the
+            # data-axis placement valid and avoids a recompile per distinct
+            # remainder), then trim the zero frames from the output
+            n_real = batch.shape[0]
+            if n_real != args.batch:
+                pad = np.zeros((args.batch - n_real,) + batch.shape[1:],
+                               batch.dtype)
+                batch = np.concatenate([batch, pad])
+            out = np.asarray(model(model.shard_batch(batch),
+                                   args.min_val, args.max_val))
+            return out[:n_real]
     else:
         from .models import CannyTPU
 
-        model = CannyTPU(sigma=args.sigma, backend=args.backend)
+        model = CannyTPU(sigma=args.sigma, backend=args.backend,
+                         hysteresis_mode=args.hysteresis)
 
         def run_batch(batch):
             if batch.shape[0] == 1:
@@ -139,12 +170,15 @@ def main(argv=None) -> int:
 
     n_out = 0
     total_px = 0
+    profiled_frame = None
     t0 = time.perf_counter()
     single_image = (os.path.splitext(args.input)[1].lower()
                     in video.IMAGE_EXTS and args.output)
     for bi, batch in enumerate(video.batched(frames, args.batch)):
         edges = run_batch(batch)
         total_px += batch.size
+        if profiled_frame is None:
+            profiled_frame = batch[0]
         for fi in range(edges.shape[0]):
             if single_image:
                 out_path = args.output
@@ -163,20 +197,21 @@ def main(argv=None) -> int:
         "mp_per_s": round(total_px / 1e6 / elapsed, 2),
         "backend": args.backend,
     }
+    report = None
+    if args.timeit and profiled_frame is not None:
+        from .utils.timing import profile_stages
+
+        # profile the actual first input frame at its actual size
+        report = profile_stages(profiled_frame, args.sigma, args.min_val,
+                                args.max_val)
+        stats["stages"] = report.json()
     if args.json:
         print(json.dumps(stats))
     else:
         # the reference prints "Execution time: <s> seconds" (utils.cpp:489)
         print(f"Execution time: {elapsed:.6f} seconds "
               f"({stats['frames']} frames, {stats['mp_per_s']} MP/s)")
-    if args.timeit and n_out:
-        from .utils.timing import profile_stages
-
-        first = imageio.synthetic_image(512, 512) if args.input.startswith(
-            "synthetic") else None
-        report = profile_stages(
-            first if first is not None else batch[0],
-            args.sigma, args.min_val, args.max_val)
+    if report is not None:
         print(report.table(), file=sys.stderr)
     return 0
 

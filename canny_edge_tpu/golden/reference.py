@@ -365,6 +365,11 @@ def hysteresis_bfs(nm: np.ndarray, min_val: int, max_val: int) -> np.ndarray:
     return out
 
 
+#: Oracle for the "strict-reference" hysteresis mode: the literal BFS with
+#: the reference's ``current - width > 0`` bounds quirk preserved.
+hysteresis_strict = hysteresis_bfs
+
+
 def hysteresis(nm: np.ndarray, min_val: int, max_val: int) -> np.ndarray:
     """Component-rule hysteresis: EDGE(255) on every 8-connected component
     of {nm >= min_val} containing a pixel >= max_val, NOEDGE(0) elsewhere.

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from .frontend import frontend_nm
 from .hysteresis import hysteresis_pallas
+from .hysteresis_packed import hysteresis_packed_pallas
 from .hysteresis_v2 import hysteresis_banded
 
 
@@ -19,15 +20,16 @@ def _auto_interpret():
 
 
 def canny_fused(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
-                tile=(128, 512), interpret=None, hysteresis_impl="banded"):
+                tile=(256, 1024), interpret=None, hysteresis_impl="packed"):
     """uint8 (H, W) -> int16 {0,255} via Pallas kernels.
 
     ``hysteresis_steps`` is accepted for signature parity with the XLA path
-    (the Pallas hysteresis converges in-tile, so the parameter is unused).
+    (the Pallas hysteresis converges on-chip, so the parameter is unused).
     ``interpret=None`` auto-selects interpreter mode on CPU backends so the
     same code runs in tests and on TPU.
-    ``hysteresis_impl``: "banded" (raster-scan wavefront, default) or
-    "dilate" (v1 tiled dilation fixed point).
+    ``hysteresis_impl``: "packed" (bit-packed VMEM-resident flood, default
+    — see kernels/hysteresis_packed.py), "banded" (raster-scan wavefront)
+    or "dilate" (v1 tiled dilation fixed point).
     """
     del hysteresis_steps
     if interpret is None:
@@ -38,6 +40,9 @@ def canny_fused(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
             interpret=interpret, hysteresis_impl=hysteresis_impl)
         return jax.vmap(f)(img)
     nm = frontend_nm(img, kernel_vals, tile=tile, interpret=interpret)
+    if hysteresis_impl == "packed":
+        return hysteresis_packed_pallas(nm, min_val, max_val,
+                                        interpret=interpret)
     if hysteresis_impl == "banded":
         return hysteresis_banded(nm, min_val, max_val, interpret=interpret)
     return hysteresis_pallas(nm, min_val, max_val, tile=tile,

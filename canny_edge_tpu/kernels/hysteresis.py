@@ -1,4 +1,4 @@
-"""Pallas hysteresis: in-tile fixed-point convergence + serpentine sweeps.
+"""Pallas hysteresis v1: per-tile fixed-point convergence sweeps.
 
 The reference's hysteresis is a serial CPU BFS (src/utils.cpp:360-427) that
 even the CUDA path falls back to (src/cuda.cu:436).  The naive data-parallel
@@ -6,12 +6,14 @@ replacement (one 3x3 dilation per step) needs O(edge length) HBM sweeps.
 This kernel cuts that to O(tiles crossed): each grid step loads a tile of
 the weak/strong masks into VMEM and runs the dilation *to local convergence*
 on-chip (a lax.while_loop over VPU ops at VMEM bandwidth), so a global sweep
-costs one HBM pass and information propagates a whole tile per sweep.
-Alternating forward/reverse (serpentine) sweeps lets edge chains snake
-between tiles in few global rounds; an outer while_loop with a changed-count
-reduction detects the fixed point.
+costs one HBM pass and information propagates a whole tile per sweep; an
+outer while_loop with a changed-count reduction detects the fixed point.
+(Each sweep's tiles read the pre-sweep state, so sweep order is irrelevant —
+a round-1 serpentine variant was measured equivalent and removed.)
 
-State is int8 (0/1) to minimize HBM traffic.
+State is int8 (0/1) to minimize HBM traffic.  Superseded as the production
+engine by kernels/hysteresis_packed.py; kept as the bounded-worst-case
+reference implementation for the tiled-convergence strategy.
 """
 
 from __future__ import annotations
@@ -62,32 +64,26 @@ def _hyst_kernel(weak_ref, edges_ref, out_ref, changed_ref):
     changed_ref[0, 0, 0, 0] = jnp.sum(e1[1:-1, 1:-1] - e0[1:-1, 1:-1])
 
 
-def _sweep(weak_tiles, edges, th, tw, nty, ntx, reverse, interpret):
+def _sweep(weak_tiles, edges, th, tw, nty, ntx, interpret):
     """One global pass: per-tile local convergence; returns new edges and
     the number of changed pixels."""
     edge_tiles = make_halo_tiles(edges, th, tw, 1)
-    if reverse:
-        def idx(i, j):
-            return (pl.num_programs(0) - 1 - i, pl.num_programs(1) - 1 - j)
-    else:
-        def idx(i, j):
-            return (i, j)
 
     out, changed = pl.pallas_call(
         _hyst_kernel,
         grid=(nty, ntx),
         in_specs=[
             pl.BlockSpec((1, 1, th + 2, tw + 2),
-                         lambda i, j: (*idx(i, j), 0, 0),
+                         lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, th + 2, tw + 2),
-                         lambda i, j: (*idx(i, j), 0, 0),
+                         lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, th, tw), lambda i, j: (*idx(i, j), 0, 0),
+            pl.BlockSpec((1, 1, th, tw), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1), lambda i, j: (*idx(i, j), 0, 0),
+            pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -118,24 +114,16 @@ def hysteresis_pallas(nm, min_val, max_val, *, tile=(128, 512),
     sweep = functools.partial(_sweep, weak_tiles, th=th, tw=tw, nty=nty,
                               ntx=ntx, interpret=interpret)
 
-    # sweep 0 always runs; then keep sweeping (alternating direction) until
-    # a sweep changes nothing
-    edges, _ = sweep(strong, reverse=False)
+    # sweep 0 always runs; keep sweeping until a sweep changes nothing
+    edges, _ = sweep(strong)
 
     def cond(state):
-        _, changed, _ = state
+        _, changed = state
         return changed > 0
 
     def body(state):
-        edges, _, k = state
-        fwd = (k % 2) == 0
+        edges, _ = state
+        return sweep(edges)
 
-        def run(rev):
-            return lambda e: _sweep(weak_tiles, e, th, tw, nty, ntx, rev,
-                                    interpret)
-        new, changed = jax.lax.cond(fwd, run(False), run(True), edges)
-        return new, changed, k + 1
-
-    edges, _, _ = jax.lax.while_loop(
-        cond, body, (edges, jnp.int32(1), jnp.int32(1)))
+    edges, _ = jax.lax.while_loop(cond, body, (edges, jnp.int32(1)))
     return jnp.where(edges > 0, jnp.int16(255), jnp.int16(0))

@@ -24,13 +24,22 @@ from ..ops import stages
 
 
 def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
-             backend: str = "xla"):
+             backend: str = "xla", hysteresis_mode: str = "component"):
     """Traceable full pipeline: uint8 (..., H, W) -> int16 {0,255}.
 
     ``kernel_vals``: static tuple of float32 Gaussian weights (host-computed
     by golden.gaussian_kernel so TPU and oracle share identical weights).
     ``backend``: "xla" (pure jnp ops) or "pallas" (fused Pallas kernels).
+    ``hysteresis_mode``: "component" (clean 8-connected rule) or
+    "strict-reference" (bit-identical to the reference binary including its
+    BFS bounds quirk; see ops.stages.hysteresis).
     """
+    if hysteresis_mode == "strict-reference":
+        from ..ops.window import frontend_nm_banded
+
+        nm = frontend_nm_banded(img, kernel_vals)
+        return stages.hysteresis(nm, min_val, max_val, hysteresis_steps,
+                                 mode=hysteresis_mode)
     if backend == "pallas":
         from ..kernels import fused as pallas_fused
 
@@ -48,7 +57,7 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
 
 
 def canny_fn_batched(imgs, min_val, max_val, *, kernel_vals,
-                     hysteresis_steps=8):
+                     hysteresis_steps=8, hysteresis_mode="component"):
     """Batched XLA pipeline: ``lax.map`` of the full single-frame pipeline.
 
     XLA:TPU per-pixel stencil cost grows sharply with program size, so a
@@ -57,7 +66,8 @@ def canny_fn_batched(imgs, min_val, max_val, *, kernel_vals,
     vs 1208-1350 MP/s for 3-D/tall-stacked variants on 8x1080p."""
     return jax.lax.map(
         lambda f: canny_fn(f, min_val, max_val, kernel_vals=kernel_vals,
-                           hysteresis_steps=hysteresis_steps), imgs)
+                           hysteresis_steps=hysteresis_steps,
+                           hysteresis_mode=hysteresis_mode), imgs)
 
 
 def canny_with_intermediates(img, min_val, max_val, *, kernel_vals,
@@ -94,6 +104,7 @@ class CannyTPU:
     sigma: float = 1.0
     hysteresis_steps: int = 4
     backend: str = "xla"
+    hysteresis_mode: str = "component"
     kernel: np.ndarray = field(init=False)
 
     def __post_init__(self):
@@ -101,7 +112,8 @@ class CannyTPU:
         kernel_vals = tuple(float(v) for v in self.kernel)
         base = functools.partial(
             canny_fn, kernel_vals=kernel_vals,
-            hysteresis_steps=self.hysteresis_steps, backend=self.backend)
+            hysteresis_steps=self.hysteresis_steps, backend=self.backend,
+            hysteresis_mode=self.hysteresis_mode)
         self._single = jax.jit(base)
         # batched XLA path: stages on (B, H, W) directly + per-frame
         # hysteresis convergence (see canny_fn_batched); Pallas kernels are
@@ -109,7 +121,8 @@ class CannyTPU:
         if self.backend == "xla":
             self._batched = jax.jit(functools.partial(
                 canny_fn_batched, kernel_vals=kernel_vals,
-                hysteresis_steps=self.hysteresis_steps))
+                hysteresis_steps=self.hysteresis_steps,
+                hysteresis_mode=self.hysteresis_mode))
         else:
             self._batched = jax.jit(jax.vmap(base, in_axes=(0, None, None)))
         self._intermediates = jax.jit(functools.partial(

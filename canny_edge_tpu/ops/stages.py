@@ -144,7 +144,8 @@ def _dilate8(e):
     return h | shift_rows(h, 1, f) | shift_rows(h, -1, f)
 
 
-def hysteresis(nm, min_val, max_val, steps_per_check: int = 4):
+def hysteresis(nm, min_val, max_val, steps_per_check: int = 4,
+               mode: str = "component"):
     """EDGE(255) on 8-connected weak components containing a strong pixel.
 
     The reference's per-seed BFS (src/utils.cpp:360-427) is inherently
@@ -153,14 +154,42 @@ def hysteresis(nm, min_val, max_val, steps_per_check: int = 4):
     converged when an iteration changes nothing.  Monotone and bounded, so
     it terminates at exactly the BFS result set.  ``steps_per_check``
     dilations run between convergence reductions to amortize the reduce.
+
+    ``mode``:
+      * "component" (default) — clean 8-connected component rule.
+      * "strict-reference" — reproduces the reference binary bit for bit,
+        including its BFS bounds-check quirk: ``current - width > 0``
+        (src/utils.cpp:378,399) means the pixel at (1, 0) never enqueues
+        its top-right neighbor (0, 1), i.e. reachability is over the
+        8-adjacency digraph minus the single directed edge (1,0)->(0,1).
+        The fixed point drops exactly that directed promotion each step,
+        so it converges to the BFS's directed-reachability set (oracle:
+        golden.hysteresis_bfs).
     """
-    out, _ = hysteresis_with_stats(nm, min_val, max_val, steps_per_check)
+    out, _ = hysteresis_with_stats(nm, min_val, max_val, steps_per_check,
+                                   mode)
     return out
 
 
-def hysteresis_with_stats(nm, min_val, max_val, steps_per_check: int = 4):
+def _strict_reference_fix(new, prev, weak):
+    """Re-derive pixel (0, 1) excluding (1, 0) as a promotion source."""
+    h, w = new.shape[-2], new.shape[-1]
+    if h < 2 or w < 2:
+        return new
+    allowed = prev[..., 0, 0] | prev[..., 1, 1]
+    if w >= 3:
+        allowed = allowed | prev[..., 0, 2] | prev[..., 1, 2]
+    val = prev[..., 0, 1] | (weak[..., 0, 1] & allowed)
+    return new.at[..., 0, 1].set(val)
+
+
+def hysteresis_with_stats(nm, min_val, max_val, steps_per_check: int = 4,
+                          mode: str = "component"):
     """Like :func:`hysteresis`, also returning the number of dilation steps
     run until convergence (the "frontier iterations" observability stat)."""
+    if mode not in ("component", "strict-reference"):
+        raise ValueError(f"unknown hysteresis mode: {mode!r}")
+    strict = mode == "strict-reference"
     weak = nm >= min_val
     strong = nm >= max_val
 
@@ -168,7 +197,10 @@ def hysteresis_with_stats(nm, min_val, max_val, steps_per_check: int = 4):
         edges, _, rounds = state
         new = edges
         for _ in range(steps_per_check):
-            new = weak & _dilate8(new)
+            stepped = weak & _dilate8(new)
+            if strict:
+                stepped = _strict_reference_fix(stepped, new, weak)
+            new = stepped
         changed = jnp.any(new != edges)
         return new, changed, rounds + 1
 

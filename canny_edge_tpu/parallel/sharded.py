@@ -294,8 +294,20 @@ class ShardedCanny:
             out_specs=spec,
             check_vma=False,
         )
-        self._fn = jax.jit(mapped)
-        self._in_sharding = NamedSharding(mesh, spec)
+        Hp, Wp, H, W = self.Hp, self.Wp, self.H, self.W
+        sharding = NamedSharding(mesh, spec)
+
+        def wrapped(imgs, min_val, max_val):
+            # pad/slice live inside jit so the entry point works on global
+            # (multi-process) arrays, where eager host-side ops would fail
+            if imgs.shape[1:] != (Hp, Wp):
+                imgs = jnp.pad(imgs, ((0, 0), (0, Hp - imgs.shape[1]),
+                                      (0, Wp - imgs.shape[2])))
+            imgs = jax.lax.with_sharding_constraint(imgs, sharding)
+            return mapped(imgs, min_val, max_val)[:, :H, :W]
+
+        self._fn = jax.jit(wrapped)
+        self._in_sharding = sharding
 
     def shard_batch(self, imgs: np.ndarray):
         """Pad a host batch to the shard grid and place it onto the mesh."""
@@ -308,9 +320,4 @@ class ShardedCanny:
     def __call__(self, imgs, min_val: int, max_val: int):
         if imgs.ndim != 3:
             raise ValueError("expected (B, H, W)")
-        if imgs.shape[1:] == (self.H, self.W) and \
-                (self.H, self.W) != (self.Hp, self.Wp):
-            imgs = jnp.pad(imgs, ((0, 0), (0, self.Hp - self.H),
-                                  (0, self.Wp - self.W)))
-        out = self._fn(imgs, jnp.int32(min_val), jnp.int32(max_val))
-        return out[:, :self.H, :self.W]
+        return self._fn(imgs, jnp.int32(min_val), jnp.int32(max_val))

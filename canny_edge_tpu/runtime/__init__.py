@@ -53,7 +53,7 @@ def _load():
             ctypes.c_int]
         lib.feeder_release.argtypes = [ctypes.c_void_p]
         lib.feeder_stats.argtypes = [ctypes.c_void_p] + [
-            ctypes.POINTER(ctypes.c_uint64)] * 4
+            ctypes.POINTER(ctypes.c_uint64)] * 5
         lib.feeder_destroy.argtypes = [ctypes.c_void_p]
         lib.minmax_normalize_u8.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
@@ -119,9 +119,10 @@ class FrameFeeder:
         return arr
 
     def stats(self) -> dict:
-        vals = [ctypes.c_uint64() for _ in range(4)]
+        vals = [ctypes.c_uint64() for _ in range(5)]
         self._lib.feeder_stats(self._handle, *[ctypes.byref(v) for v in vals])
-        keys = ("produced", "consumed", "producer_waits", "consumer_waits")
+        keys = ("produced", "consumed", "producer_waits", "consumer_waits",
+                "read_errors")
         return dict(zip(keys, (v.value for v in vals)))
 
     def close(self):

@@ -15,6 +15,7 @@
 // Plain C ABI for ctypes.  Build: make -C canny_edge_tpu/runtime
 
 #include <atomic>
+#include <cctype>
 #include <chrono>
 #include <cmath>
 #include <condition_variable>
@@ -47,6 +48,9 @@ struct Feeder {
 
   std::atomic<uint64_t> produced{0}, consumed{0};
   std::atomic<uint64_t> producer_waits{0}, consumer_waits{0};
+  // source frames that existed but failed to parse/read — distinguishes a
+  // corrupt stream from normal end-of-stream in feeder_stats
+  std::atomic<uint64_t> read_errors{0};
 
   std::mutex mu;
   std::condition_variable cv_space, cv_data;
@@ -77,21 +81,46 @@ bool read_raw_frame(Feeder* f, uint8_t* dst) {
   return f->raw && fread(dst, 1, need, f->raw) == need;
 }
 
-bool read_pgm(const std::string& file, int h, int w, uint8_t* dst) {
+// Skip whitespace and '#...' comment lines between PGM header tokens (many
+// writers emit comments, which plain fscanf("%d") chokes on).
+bool pgm_skip_separators(FILE* fp) {
+  int c;
+  for (;;) {
+    c = fgetc(fp);
+    if (c == EOF) return false;
+    if (c == '#') {
+      while ((c = fgetc(fp)) != EOF && c != '\n') {}
+      if (c == EOF) return false;
+    } else if (!isspace(c)) {
+      ungetc(c, fp);
+      return true;
+    }
+  }
+}
+
+bool pgm_read_int(FILE* fp, int* out) {
+  return pgm_skip_separators(fp) && fscanf(fp, "%d", out) == 1;
+}
+
+enum PgmResult { PGM_OK = 0, PGM_NOT_FOUND = 1, PGM_BAD = 2 };
+
+PgmResult read_pgm(const std::string& file, int h, int w, uint8_t* dst) {
   FILE* fp = fopen(file.c_str(), "rb");
-  if (!fp) return false;
+  if (!fp) return PGM_NOT_FOUND;
   char magic[3] = {0};
   int fw = 0, fh = 0, maxv = 0;
-  if (fscanf(fp, "%2s %d %d %d", magic, &fw, &fh, &maxv) != 4 ||
-      strcmp(magic, "P5") != 0 || fw != w || fh != h || maxv > 255) {
+  if (fscanf(fp, "%2s", magic) != 1 || strcmp(magic, "P5") != 0 ||
+      !pgm_read_int(fp, &fw) || !pgm_read_int(fp, &fh) ||
+      !pgm_read_int(fp, &maxv) ||
+      fw != w || fh != h || maxv <= 0 || maxv > 255) {
     fclose(fp);
-    return false;
+    return PGM_BAD;
   }
   fgetc(fp);  // single whitespace after header
   size_t need = static_cast<size_t>(h) * w;
   bool ok = fread(dst, 1, need, fp) == need;
   fclose(fp);
-  return ok;
+  return ok ? PGM_OK : PGM_BAD;
 }
 
 void producer_loop(Feeder* f) {
@@ -115,7 +144,9 @@ void producer_loop(Feeder* f) {
         char name[64];
         snprintf(name, sizeof(name), "/frame_%06llu.pgm",
                  static_cast<unsigned long long>(idx));
-        ok = read_pgm(f->path + name, f->h, f->w, slot.data.data());
+        PgmResult r = read_pgm(f->path + name, f->h, f->w, slot.data.data());
+        if (r == PGM_BAD) f->read_errors.fetch_add(1, std::memory_order_relaxed);
+        ok = (r == PGM_OK);
         break;
       }
       default: ok = false;
@@ -192,12 +223,14 @@ void feeder_release(void* handle) {
 }
 
 void feeder_stats(void* handle, uint64_t* produced, uint64_t* consumed,
-                  uint64_t* producer_waits, uint64_t* consumer_waits) {
+                  uint64_t* producer_waits, uint64_t* consumer_waits,
+                  uint64_t* read_errors) {
   auto* f = static_cast<Feeder*>(handle);
   if (produced) *produced = f->produced.load();
   if (consumed) *consumed = f->consumed.load();
   if (producer_waits) *producer_waits = f->producer_waits.load();
   if (consumer_waits) *consumer_waits = f->consumer_waits.load();
+  if (read_errors) *read_errors = f->read_errors.load();
 }
 
 void feeder_destroy(void* handle) {

@@ -1,10 +1,17 @@
-"""Per-stage roofline model: bytes moved vs achieved throughput.
+"""Per-stage roofline model: minimum HBM bytes vs achieved throughput.
 
-The Canny stages are stencils — essentially zero arithmetic intensity — so
-the speed-of-light on TPU is HBM bandwidth (the nvprof screenshots the
-reference publishes, README.md:50-71, measure exactly this on an RTX 2070).
-This module computes each stage's minimum HBM traffic and reports achieved
-fraction of the bandwidth roofline.
+The Canny stages are stencils — near-zero arithmetic intensity — so the
+memory-side speed-of-light on TPU is HBM bandwidth (the reference's nvprof
+screenshots, README.md:50-71, measure the same thing on an RTX 2070).  This
+module computes each stage's *minimum* HBM traffic (one read of every input
+byte + one write of every output byte, assuming perfect fusion of everything
+else) and reports the achieved fraction of the bandwidth roofline.
+
+A LOW % of SoL here does not necessarily mean wasted bandwidth: the
+bit-exact pipeline is VPU-compute-bound (exact renormalization division,
+isqrt and angle predicates cost ~200 integer ops/pixel), so the bandwidth
+roofline is an upper bound, not the binding constraint.  The report makes
+the gap visible either way, per BASELINE.json's north star.
 """
 
 from __future__ import annotations
@@ -30,7 +37,7 @@ def chip_bandwidth_gbps(device_kind: str) -> float:
 
 @dataclass
 class StageTraffic:
-    """Minimum HBM bytes per pixel for each stage (read + write)."""
+    """Minimum HBM bytes per pixel (read + write) for one stage."""
     name: str
     bytes_per_pixel: float
 
@@ -38,27 +45,57 @@ class StageTraffic:
         return self.bytes_per_pixel * pixels / (bw_gbps * 1e9)
 
 
-# XLA path: each stage materializes its outputs to HBM
+# ---------------------------------------------------------------------------
+# Stage traffic models for the production pipelines (round-2 architecture)
+# ---------------------------------------------------------------------------
+# xla backend: banded XLA front end writes int32 NMS magnitude; bit-packed
+# hysteresis reads it once for thresholding and writes int16 output; the
+# packed flood state is 1/8 byte/pixel/round (uint32 per 32 pixels, r+w).
 XLA_STAGES = [
-    StageTraffic("gaussian", 1 + 4 + 4 + 2),       # u8 in, f32 temp rw, i16 out
-    StageTraffic("sobel", 2 + 4 + 2),              # i16 in, i32 mag, i16 ang
-    StageTraffic("nms", 4 + 2 + 2),                # mag+ang in, i16 out
-    StageTraffic("hysteresis", 1 + 1),             # i8 state rw per sweep
+    StageTraffic("frontend", 1 + 4),          # u8 in, i32 nm out
+    StageTraffic("hysteresis", 4 + 2 + 0.5),  # nm in, i16 out, ~2 packed rounds
 ]
 
-# Pallas fused path: one read + one write per pixel for the front end
+# pallas backend: fused front-end kernel (u8 in, i16 nm out, one pass);
+# VMEM-resident packed hysteresis touches HBM only for pack + unpack.
 PALLAS_STAGES = [
-    StageTraffic("frontend(fused)", 1 + 2),        # u8 in, i16 nm out
-    StageTraffic("hysteresis/sweep", 1 + 1 + 1),   # weak + state in, state out
+    StageTraffic("frontend", 1 + 2),          # u8 in, i16 nm out
+    StageTraffic("hysteresis", 2 + 2 + 0.25),  # nm in, i16 out, packed masks
 ]
+
+STAGES_BY_BACKEND = {"xla": XLA_STAGES, "pallas": PALLAS_STAGES}
+
+
+def stage_rooflines(pixels: int, measured_seconds: dict[str, float],
+                    device_kind: str, backend: str = "xla") -> list[dict]:
+    """Machine-readable roofline rows: one dict per measured stage."""
+    bw = chip_bandwidth_gbps(device_kind)
+    by_name = {s.name: s for s in STAGES_BY_BACKEND.get(backend, XLA_STAGES)}
+    rows = []
+    for name, sec in measured_seconds.items():
+        s = by_name.get(name)
+        if s is None or sec <= 0:
+            continue
+        floor = s.min_seconds(pixels, bw)
+        rows.append({
+            "stage": name,
+            "ms": round(sec * 1e3, 4),
+            "min_hbm_bytes_per_px": s.bytes_per_pixel,
+            "sol_ms": round(floor * 1e3, 4),
+            "pct_of_sol": round(100.0 * floor / sec, 1),
+        })
+    return rows
 
 
 def report(pixels: int, measured_seconds: dict[str, float],
-           device_kind: str, stages=None) -> str:
-    """Text roofline report: stage, achieved GB/s-equivalent, % of peak."""
+           device_kind: str, stages=None, backend: str = "xla") -> str:
+    """Text roofline report: stage, min-traffic floor, % of speed-of-light."""
     bw = chip_bandwidth_gbps(device_kind)
-    stages = stages if stages is not None else XLA_STAGES
-    by_name = {s.name: s for s in stages}
+    if stages is not None:
+        by_name = {s.name: s for s in stages}
+    else:
+        by_name = {s.name: s
+                   for s in STAGES_BY_BACKEND.get(backend, XLA_STAGES)}
     lines = [f"roofline vs {device_kind} @ {bw:.0f} GB/s HBM",
              f"{'stage':<18}{'ms':>9}{'min ms':>9}{'% of SoL':>10}"]
     for name, sec in measured_seconds.items():

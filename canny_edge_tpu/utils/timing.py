@@ -70,6 +70,7 @@ def profile_stages(img: np.ndarray, sigma: float, min_val: int, max_val: int,
     """
     from ..golden.reference import gaussian_kernel
     from ..ops import stages as S
+    from ..ops.packed import hysteresis_packed
 
     kernel_vals = tuple(float(v) for v in gaussian_kernel(sigma))
     dev_img = jax.device_put(img)
@@ -79,7 +80,7 @@ def profile_stages(img: np.ndarray, sigma: float, min_val: int, max_val: int,
                                      kernel_vals=kernel_vals))
     sob = jax.jit(S.sobel)
     nms = jax.jit(S.nonmax_suppression)
-    hyst = jax.jit(functools.partial(S.hysteresis, steps_per_check=8))
+    hyst = jax.jit(hysteresis_packed)  # the production hysteresis engine
 
     sm = blur(dev_img)
     mag, ang = sob(sm)
@@ -103,7 +104,8 @@ def profile_stages(img: np.ndarray, sigma: float, min_val: int, max_val: int,
 
 def checksum_slope_seconds(pipe_fn, img: np.ndarray, *, k1: int = 4,
                            k2: int = 16, samples: int = 3,
-                           min_val: int = 30, max_val: int = 90) -> float:
+                           min_val: int = 30, max_val: int = 90,
+                           return_samples: bool = False):
     """Per-frame seconds via the checksum-slope protocol.
 
     Robust on environments where host<->device transfer is slow and
@@ -151,6 +153,8 @@ def checksum_slope_seconds(pipe_fn, img: np.ndarray, *, k1: int = 4,
         t2 = time.perf_counter() - t0
         assert c1 != c2
         slopes.append((t2 - t1) / (k2 - k1))
+    if return_samples:
+        return [max(float(s), 1e-9) for s in slopes]
     sec = float(np.median(slopes))
     return max(sec, 1e-9)
 

@@ -47,6 +47,49 @@ def test_feeder_stats_and_backpressure():
     assert stats["consumed"] >= 99  # last slot released on close/iteration end
 
 
+def _write_pgm(path, img, comments=False):
+    hdr = b"P5\n"
+    if comments:
+        hdr += b"# created by a third-party writer\n"
+    hdr += b"%d " % img.shape[1]
+    if comments:
+        hdr += b"# width then height\n"
+    hdr += b"%d\n255\n" % img.shape[0]
+    path.write_bytes(hdr + img.tobytes())
+
+
+def test_feeder_pgm_dir_with_comment_headers(tmp_path):
+    """P5 files with '#' comment lines between header tokens must load
+    (common third-party writer output)."""
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, size=(3, 16, 32), dtype=np.uint8)
+    for i, fr in enumerate(frames):
+        _write_pgm(tmp_path / f"frame_{i:06d}.pgm", fr, comments=(i % 2 == 0))
+    with runtime.FrameFeeder(16, 32, mode=runtime.MODE_PGM_DIR,
+                             path=str(tmp_path)) as f:
+        got = [frame.copy() for frame in f]
+        stats = f.stats()
+    assert len(got) == 3
+    for a, b in zip(got, frames):
+        np.testing.assert_array_equal(a, b)
+    assert stats["read_errors"] == 0
+
+
+def test_feeder_pgm_corrupt_file_reports_read_error(tmp_path):
+    """A present-but-unparsable frame ends the stream with read_errors=1,
+    distinguishable from normal end-of-stream."""
+    rng = np.random.default_rng(3)
+    _write_pgm(tmp_path / "frame_000000.pgm",
+               rng.integers(0, 256, size=(16, 32), dtype=np.uint8))
+    (tmp_path / "frame_000001.pgm").write_bytes(b"P6 garbage not a pgm")
+    with runtime.FrameFeeder(16, 32, mode=runtime.MODE_PGM_DIR,
+                             path=str(tmp_path)) as f:
+        got = [frame.copy() for frame in f]
+        stats = f.stats()
+    assert len(got) == 1
+    assert stats["read_errors"] == 1
+
+
 def test_native_normalize_matches_python():
     from canny_edge_tpu.io.imageio import minmax_normalize_u8
 

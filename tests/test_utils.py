@@ -9,14 +9,24 @@ from canny_edge_tpu.utils.timing import profile_stages
 def test_roofline_report():
     rep = roofline.report(
         pixels=2_073_600,
-        measured_seconds={"gaussian": 1e-3, "sobel": 5e-4},
+        measured_seconds={"frontend": 1e-3, "hysteresis": 5e-4},
         device_kind="TPU v5 lite",
     )
-    assert "819" in rep and "gaussian" in rep
+    assert "819" in rep and "frontend" in rep
     assert roofline.chip_bandwidth_gbps("TPU v4") == 1200.0
     assert roofline.chip_bandwidth_gbps("unknown") == roofline.DEFAULT_BW
     st = roofline.StageTraffic("x", 10.0)
     assert np.isclose(st.min_seconds(1e6, 1000.0), 1e-5)
+
+
+def test_roofline_stage_rows():
+    rows = roofline.stage_rooflines(
+        2_073_600, {"frontend": 1e-3, "hysteresis": 5e-4},
+        "TPU v5 lite", backend="pallas")
+    assert {r["stage"] for r in rows} == {"frontend", "hysteresis"}
+    for r in rows:
+        assert 0 < r["pct_of_sol"] <= 100
+        assert r["sol_ms"] < r["ms"] * 1.001
 
 
 def test_profile_stages_runs():
