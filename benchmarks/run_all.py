@@ -85,17 +85,38 @@ def main():
              "bit_exact": ok})
         log(f"[1] {b}: bit-exact={ok}")
 
-    # --- config 2: 1080p single frame ---
+    # --- config 2: 1080p single frame (+ per-stage roofline per backend) ---
+    from canny_edge_tpu.utils.roofline import stage_rooflines
+
     im = synthetic_image(1080, 1920, seed=3)
     for b in backends:
         pipe = functools.partial(canny_fn, kernel_vals=kv(1.4), backend=b,
                                  hysteresis_steps=8)
         sec = steady_state(pipe, im, k=5 if args.quick else 20)
         mps = im.size / sec / 1e6
-        results["configs"].append(
-            {"config": "1080p s1.4", "backend": b,
-             "ms_per_frame": round(sec * 1e3, 3), "mp_per_s": round(mps, 1),
-             "vs_baseline": round(mps / 229.0, 2)})
+        entry = {"config": "1080p s1.4", "backend": b,
+                 "ms_per_frame": round(sec * 1e3, 3),
+                 "mp_per_s": round(mps, 1),
+                 "vs_baseline": round(mps / 229.0, 2)}
+        try:
+            if b == "pallas":
+                from canny_edge_tpu.kernels.frontend import frontend_nm
+
+                fe = lambda x, mn, mx: frontend_nm(x, kv(1.4),  # noqa: E731
+                                                   interpret=False)
+            else:
+                from canny_edge_tpu.ops.window import frontend_nm_banded
+
+                fe = lambda x, mn, mx: frontend_nm_banded(  # noqa: E731
+                    x, kv(1.4))
+            fe_sec = steady_state(fe, im, k=5 if args.quick else 20)
+            entry["roofline"] = stage_rooflines(
+                im.size, {"frontend": fe_sec,
+                          "hysteresis": max(sec - fe_sec, 1e-9)},
+                dev.device_kind, backend=b)
+        except Exception as e:
+            log(f"[2] {b} roofline failed: {type(e).__name__}: {e}")
+        results["configs"].append(entry)
         log(f"[2] {b}: {sec*1e3:.3f} ms/frame  {mps:.0f} MP/s")
 
     # --- config 3: batch of 1080p frames ---

@@ -37,6 +37,10 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _round_up(a, b):
+    return _cdiv(a, b) * b
+
+
 def make_halo_tiles(img, th: int, tw: int, r: int):
     """(H, W) -> (nty, ntx, TH+2R, TW+2R) overlapping halo tiles.
 
@@ -62,10 +66,21 @@ def _frontend_kernel(img_ref, nm_ref, *, kernel_vals, th, tw, r, H, W):
     nm_ref[0, 0] = nm.astype(jnp.int16)
 
 
-def frontend_nm(img, kernel_vals, *, tile=(128, 512), interpret=None):
+def frontend_nm(img, kernel_vals, *, tile=(128, 512), interpret=None,
+                indexing: str = "element"):
     """uint8 (H, W) -> int16 NMS magnitude (H, W), fused in one Pallas pass.
 
     Bit-exact vs ops.stages blur+sobel+nms composition.
+
+    ``indexing``:
+      * "element" (default) — overlapping halo windows are read straight
+        from one zero-padded copy of the image via ``pl.Element`` block
+        dims, and the output is written in natural (H, W) layout: no tile
+        restack on the input and no transpose/relayout pass on the output.
+      * "restack" — round-1 formulation: the input is restacked in XLA into
+        (nty, ntx, TH+2R, TW+2R) non-overlapping halo tiles and the tiled
+        output is re-assembled with a transpose.  Kept as a fallback while
+        Element-indexed BlockSpecs are newer API surface.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -77,8 +92,48 @@ def frontend_nm(img, kernel_vals, *, tile=(128, 512), interpret=None):
     tw = min(tile[1], max(128, W))
     nty, ntx = _cdiv(H, th), _cdiv(W, tw)
 
-    tiles = make_halo_tiles(img, th, tw, r)
+    vmem_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
+    if indexing == "element":
+        # Mosaic requires Element windows with (8, 128)-divisible shapes, so
+        # the halo is rounded up to the alignment grid (rr rows, rc cols >= r)
+        # and the kernel slices the exact r-halo window out of the aligned
+        # one in VMEM.  Window starts land on (i*th, j*tw) — always aligned.
+        th = _round_up(th, 8)
+        tw = _round_up(tw, 128)
+        nty, ntx = _cdiv(H, th), _cdiv(W, tw)
+        rr = _round_up(r, 8)
+        rc = _round_up(r, 64)   # 2*rc must divide 128
+        padded = jnp.pad(img, ((rr, nty * th - H + rr),
+                               (rc, ntx * tw - W + rc)))
+
+        def kern(img_ref, nm_ref):
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+            v = img_ref[...]
+            win = v[rr - r:rr - r + th + 2 * r,
+                    rc - r:rc - r + tw + 2 * r]
+            x = win.astype(jnp.int32).astype(jnp.float32)
+            nm = window_nm(x, i * th - r, j * tw - r, H, W, kernel_vals,
+                           th, tw, r)
+            nm_ref[...] = nm.astype(jnp.int16)
+
+        out = pl.pallas_call(
+            kern,
+            grid=(nty, ntx),
+            in_specs=[pl.BlockSpec(
+                (pl.Element(th + 2 * rr), pl.Element(tw + 2 * rc)),
+                lambda i, j: (i * th, j * tw),
+                memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nty * th, ntx * tw), jnp.int16),
+            interpret=interpret,
+            compiler_params=vmem_params,
+        )(padded)
+        return out[:H, :W]
+
+    tiles = make_halo_tiles(img, th, tw, r)
     kern = functools.partial(_frontend_kernel, kernel_vals=kernel_vals,
                              th=th, tw=tw, r=r, H=H, W=W)
     out = pl.pallas_call(
@@ -91,6 +146,10 @@ def frontend_nm(img, kernel_vals, *, tile=(128, 512), interpret=None):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nty, ntx, th, tw), jnp.int16),
         interpret=interpret,
+        # the unrolled tap chain keeps several f32 window temporaries live;
+        # large tiles (fewer => less halo-overlap waste) need more scoped
+        # VMEM than the 16 MB default
+        compiler_params=vmem_params,
     )(tiles)
     full = out.transpose(0, 2, 1, 3).reshape(nty * th, ntx * tw)
     return full[:H, :W]

@@ -42,11 +42,10 @@ def _any_nonzero(d):
 def _hyst_packed_kernel(weak_ref, strong_ref, out_ref, *, height, width,
                         inner_dilate):
     w = weak_ref[:]
-    e0 = strong_ref[:]
 
     def one_round(e):
-        for _ in range(inner_dilate):
-            e = dilate_packed(e, w)
+        e = jax.lax.fori_loop(0, inner_dilate,
+                              lambda i, x: dilate_packed(x, w), e)
         e = hflood(e, w, width)
         e = vflood(e, w, height)
         return e
@@ -56,9 +55,11 @@ def _hyst_packed_kernel(weak_ref, strong_ref, out_ref, *, height, width,
         new = one_round(e)
         return new, _any_nonzero(new ^ e)
 
-    first = one_round(e0)
+    # the round body is instantiated once, inside the loop (initial flag
+    # True runs round 1 there) — the Mosaic program is half the size of the
+    # peeled-first-round formulation, which this target compiles slowly
     edges, _ = jax.lax.while_loop(lambda s: s[1], body,
-                                  (first, _any_nonzero(first ^ e0)))
+                                  (strong_ref[:], jnp.asarray(True)))
     out_ref[:] = edges
 
 

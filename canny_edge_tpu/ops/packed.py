@@ -167,11 +167,18 @@ def vflood(e, weak, height: int):
 
 def hysteresis_packed_masks(weak_p, strong_p, height: int, width: int,
                             inner_dilate: int = 4):
-    """Packed weak/strong masks -> packed edge mask + rounds-run stat."""
+    """Packed weak/strong masks -> packed edge mask + rounds-run stat.
+
+    The round body is instantiated exactly once (inside the while_loop,
+    whose initial "changed" flag is True so the first round runs there
+    too) and the inner dilations run under a fori_loop — both choices
+    halve-ish the compiled program size, which matters on this target's
+    slow kernel-compile path.
+    """
 
     def one_round(e):
-        for _ in range(inner_dilate):
-            e = dilate_packed(e, weak_p)
+        e = jax.lax.fori_loop(
+            0, inner_dilate, lambda i, x: dilate_packed(x, weak_p), e)
         e = hflood(e, weak_p, width)
         e = vflood(e, weak_p, height)
         return e
@@ -182,9 +189,8 @@ def hysteresis_packed_masks(weak_p, strong_p, height: int, width: int,
         changed = jnp.any(new != e)
         return new, changed, rounds + 1
 
-    e0 = one_round(strong_p)
     edges, _, rounds = jax.lax.while_loop(
-        lambda s: s[1], body, (e0, jnp.asarray(True), jnp.int32(1)))
+        lambda s: s[1], body, (strong_p, jnp.asarray(True), jnp.int32(0)))
     return edges, rounds
 
 
