@@ -43,6 +43,10 @@ def canny_fused(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
     if hysteresis_impl == "packed":
         return hysteresis_packed_pallas(nm, min_val, max_val,
                                         interpret=interpret)
+    if hysteresis_impl == "packed-xla":
+        from ..ops.packed import hysteresis_packed
+
+        return hysteresis_packed(nm, min_val, max_val)
     if hysteresis_impl == "banded":
         return hysteresis_banded(nm, min_val, max_val, interpret=interpret)
     return hysteresis_pallas(nm, min_val, max_val, tile=tile,
