@@ -80,7 +80,7 @@ def main():
     sigma = 1.4
     kernel_vals = tuple(float(v) for v in gaussian_kernel(sigma))
     on_tpu = dev.platform != "cpu"
-    backends = ["pallas", "xla"] if on_tpu else ["xla"]
+    backends = ["fused", "pallas", "xla"] if on_tpu else ["xla"]
 
     img_dev = jax.device_put(make_image(H, W))
 
@@ -123,25 +123,14 @@ def main():
         stage_sec = {}
         if backend == "pallas":
             from canny_edge_tpu.kernels.frontend import frontend_nm
-            from canny_edge_tpu.kernels.hysteresis_packed import \
-                hysteresis_packed_pallas
 
             def fe(x, mn, mx):
                 return frontend_nm(x, kernel_vals, interpret=False)
-
-            def hy(x, mn, mx):
-                nm = frontend_nm(x, kernel_vals, interpret=False)
-                return hysteresis_packed_pallas(nm, mn, mx, interpret=False)
         else:
-            from canny_edge_tpu.ops.packed import hysteresis_packed
-            from canny_edge_tpu.ops.window import frontend_nm_banded
+            from canny_edge_tpu.ops.window import frontend_nm_xla
 
             def fe(x, mn, mx):
-                return frontend_nm_banded(x, kernel_vals)
-
-            def hy(x, mn, mx):
-                return hysteresis_packed(frontend_nm_banded(x, kernel_vals),
-                                         mn, mx)
+                return frontend_nm_xla(x, kernel_vals)
         fe_sec = checksum_slope_seconds(fe, img_dev, k1=4, k2=20, samples=3)
         full_sec = details[backend]["ms_median"] / 1e3
         stage_sec["frontend"] = fe_sec

@@ -46,9 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output path for a single image input")
     p.add_argument("--out-dir", default="canny_out",
                    help="output directory for multi-frame inputs / steps")
-    p.add_argument("--backend", default="xla",
-                   choices=["xla", "pallas", "sharded", "golden"],
-                   help="execution backend (default: xla single chip)")
+    p.add_argument("--backend", default="fused",
+                   choices=["fused", "xla", "pallas", "sharded", "golden"],
+                   help="execution backend (default: fused — best engine "
+                        "per stage on a single chip)")
     p.add_argument("--hysteresis", default="component",
                    choices=["component", "strict-reference"],
                    help="hysteresis rule: clean 8-connected components, or "

@@ -20,7 +20,7 @@ class CannyConfig:
     max_val: int = 150
 
     # execution
-    backend: str = "xla"              # xla | pallas | sharded | golden
+    backend: str = "fused"            # fused | xla | pallas | sharded | golden
     hysteresis_steps: int = 8         # dilations per convergence check (xla)
     tile: tuple[int, int] = (128, 512)  # pallas VMEM tile
 
@@ -43,7 +43,8 @@ class CannyConfig:
             raise ValueError("maxVal must be in the range of [0,255]")
         if self.sigma <= 0:
             raise ValueError("sigma must be positive")
-        if self.backend not in ("xla", "pallas", "sharded", "golden"):
+        if self.backend not in ("fused", "xla", "pallas", "sharded",
+                                "golden"):
             raise ValueError(f"unknown backend: {self.backend}")
 
     def to_dict(self) -> dict:

@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.window import window_nm
+from ..ops.window import frontend_nm_strips, window_nm, window_nm_interior
 
 _NMS_OOB = -32768
 
@@ -97,8 +97,13 @@ def frontend_nm(img, kernel_vals, *, tile=(128, 512), interpret=None,
     if indexing == "element":
         # Mosaic requires Element windows with (8, 128)-divisible shapes, so
         # the halo is rounded up to the alignment grid (rr rows, rc cols >= r)
-        # and the kernel slices the exact r-halo window out of the aligned
-        # one in VMEM.  Window starts land on (i*th, j*tw) — always aligned.
+        # and tap slices fold the (rr-r, rc-r) offset into their indices.
+        # Window starts land on (i*th, j*tw) — always aligned.
+        #
+        # The kernel body is the maskless interior math; the r-wide border
+        # frame (the only region where masks matter — dependency-cone
+        # radius is exactly r) is overwritten afterwards with the exact
+        # masked strips in XLA (ops.window.frontend_nm_strips).
         th = _round_up(th, 8)
         tw = _round_up(tw, 128)
         nty, ntx = _cdiv(H, th), _cdiv(W, tw)
@@ -108,14 +113,9 @@ def frontend_nm(img, kernel_vals, *, tile=(128, 512), interpret=None,
                                (rc, ntx * tw - W + rc)))
 
         def kern(img_ref, nm_ref):
-            i = pl.program_id(0)
-            j = pl.program_id(1)
-            v = img_ref[...]
-            win = v[rr - r:rr - r + th + 2 * r,
-                    rc - r:rc - r + tw + 2 * r]
-            x = win.astype(jnp.int32).astype(jnp.float32)
-            nm = window_nm(x, i * th - r, j * tw - r, H, W, kernel_vals,
-                           th, tw, r)
+            xf = img_ref[...].astype(jnp.int32).astype(jnp.float32)
+            nm = window_nm_interior(xf, kernel_vals, th, tw, r,
+                                    row_off=rr - r, col_off=rc - r)
             nm_ref[...] = nm.astype(jnp.int16)
 
         out = pl.pallas_call(
@@ -131,7 +131,9 @@ def frontend_nm(img, kernel_vals, *, tile=(128, 512), interpret=None,
             interpret=interpret,
             compiler_params=vmem_params,
         )(padded)
-        return out[:H, :W]
+        nm = out[:H, :W]
+        pad_f32 = jnp.pad(img, r).astype(jnp.float32)
+        return frontend_nm_strips(nm, pad_f32, (H, W), kernel_vals, r)
 
     tiles = make_halo_tiles(img, th, tw, r)
     kern = functools.partial(_frontend_kernel, kernel_vals=kernel_vals,

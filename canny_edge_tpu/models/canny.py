@@ -29,7 +29,13 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
 
     ``kernel_vals``: static tuple of float32 Gaussian weights (host-computed
     by golden.gaussian_kernel so TPU and oracle share identical weights).
-    ``backend``: "xla" (pure jnp ops) or "pallas" (fused Pallas kernels).
+    ``backend``:
+      * "fused" — production path: best measured engine per stage (XLA
+        whole-image/banded stencil front end + Pallas VMEM bit-packed
+        hysteresis flood; v5e profile 0.305 ms at 1080p).
+      * "xla" — pure jnp/XLA ops end to end (no Pallas kernels).
+      * "pallas" — all-Pallas compute path (fused front-end kernel + VMEM
+        hysteresis), the reference point for kernel-vs-XLA comparisons.
     ``hysteresis_mode``: "component" (clean 8-connected rule) or
     "strict-reference" (bit-identical to the reference binary including its
     BFS bounds quirk; see ops.stages.hysteresis).
@@ -46,10 +52,17 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
         return pallas_fused.canny_fused(
             img, min_val, max_val, kernel_vals=kernel_vals,
             hysteresis_steps=hysteresis_steps)
-    from ..ops.packed import hysteresis_packed
-    from ..ops.window import frontend_nm_banded
+    from ..ops.window import frontend_nm_xla
 
-    nm = frontend_nm_banded(img, kernel_vals)
+    nm = frontend_nm_xla(img, kernel_vals)
+    if backend == "fused":
+        from ..kernels.hysteresis_packed import hysteresis_packed_pallas
+
+        # Pallas VMEM-resident packed flood: 0.066 ms vs 0.101 ms for the
+        # XLA packed flood at 1080p (the VMEM kernel's rounds touch no HBM)
+        return hysteresis_packed_pallas(nm, min_val, max_val, inner_dilate=4)
+    from ..ops.packed import hysteresis_packed
+
     # bit-packed flood: same fixed point as stages.hysteresis, ~3-6x faster
     # (ops/packed.py); inner_dilate=4 balances diagonal-chain progress per
     # round against round cost
@@ -57,17 +70,20 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
 
 
 def canny_fn_batched(imgs, min_val, max_val, *, kernel_vals,
-                     hysteresis_steps=8, hysteresis_mode="component"):
-    """Batched XLA pipeline: ``lax.map`` of the full single-frame pipeline.
+                     hysteresis_steps=8, hysteresis_mode="component",
+                     backend="xla"):
+    """Batched pipeline: ``lax.map`` of the full single-frame pipeline.
 
     XLA:TPU per-pixel stencil cost grows sharply with program size, so a
-    sequence of single-frame programs (each internally band-mapped, see
-    ops.window) beats any jointly-batched formulation — measured 3197 MP/s
-    vs 1208-1350 MP/s for 3-D/tall-stacked variants on 8x1080p."""
+    sequence of single-frame programs (each internally whole-image or
+    band-mapped, see ops.window) beats any jointly-batched formulation —
+    measured 3197 MP/s vs 1208-1350 MP/s for 3-D/tall-stacked variants on
+    8x1080p."""
     return jax.lax.map(
         lambda f: canny_fn(f, min_val, max_val, kernel_vals=kernel_vals,
                            hysteresis_steps=hysteresis_steps,
-                           hysteresis_mode=hysteresis_mode), imgs)
+                           hysteresis_mode=hysteresis_mode,
+                           backend=backend), imgs)
 
 
 def canny_with_intermediates(img, min_val, max_val, *, kernel_vals,
@@ -103,7 +119,7 @@ class CannyTPU:
 
     sigma: float = 1.0
     hysteresis_steps: int = 4
-    backend: str = "xla"
+    backend: str = "fused"
     hysteresis_mode: str = "component"
     kernel: np.ndarray = field(init=False)
 
@@ -115,14 +131,14 @@ class CannyTPU:
             hysteresis_steps=self.hysteresis_steps, backend=self.backend,
             hysteresis_mode=self.hysteresis_mode)
         self._single = jax.jit(base)
-        # batched XLA path: stages on (B, H, W) directly + per-frame
-        # hysteresis convergence (see canny_fn_batched); Pallas kernels are
-        # 2-D and vmap
-        if self.backend == "xla":
+        # batched path: lax.map of single-frame programs with per-frame
+        # hysteresis convergence (see canny_fn_batched); the all-Pallas
+        # backend vmaps its 2-D kernels instead
+        if self.backend in ("xla", "fused"):
             self._batched = jax.jit(functools.partial(
                 canny_fn_batched, kernel_vals=kernel_vals,
                 hysteresis_steps=self.hysteresis_steps,
-                hysteresis_mode=self.hysteresis_mode))
+                hysteresis_mode=self.hysteresis_mode, backend=self.backend))
         else:
             self._batched = jax.jit(jax.vmap(base, in_axes=(0, None, None)))
         self._intermediates = jax.jit(functools.partial(

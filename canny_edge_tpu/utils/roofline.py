@@ -63,7 +63,16 @@ PALLAS_STAGES = [
     StageTraffic("hysteresis", 2 + 2 + 0.25),  # nm in, i16 out, packed masks
 ]
 
-STAGES_BY_BACKEND = {"xla": XLA_STAGES, "pallas": PALLAS_STAGES}
+# fused backend: XLA front end (u8 in, i32 nm out) + Pallas VMEM-resident
+# packed hysteresis (nm in for thresholding/packing, i16 out, packed masks
+# r+w once around the in-VMEM fixed point).
+FUSED_STAGES = [
+    StageTraffic("frontend", 1 + 4),
+    StageTraffic("hysteresis", 4 + 2 + 0.25),
+]
+
+STAGES_BY_BACKEND = {"xla": XLA_STAGES, "pallas": PALLAS_STAGES,
+                     "fused": FUSED_STAGES}
 
 
 def stage_rooflines(pixels: int, measured_seconds: dict[str, float],

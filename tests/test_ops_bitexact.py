@@ -160,11 +160,12 @@ def test_pipeline_baseline_config(test_image):
     assert set(np.unique(ours)) <= {0, 255}
 
 
+@pytest.mark.parametrize("backend", ["fused", "xla"])
 @pytest.mark.parametrize("sigma", SIGMAS)
 @pytest.mark.parametrize("shape", SHAPES)
-def test_pipeline_bitexact_sweep(sigma, shape):
+def test_pipeline_bitexact_sweep(sigma, shape, backend):
     img = synthetic_image(*shape, seed=int(sigma * 10) + shape[0])
-    model = CannyTPU(sigma=sigma)
+    model = CannyTPU(sigma=sigma, backend=backend)
     ours = np.asarray(model(img, 30, 90))
     ref = golden.canny(img, sigma, 30, 90)
     np.testing.assert_array_equal(ours, ref)
