@@ -32,12 +32,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def steady_state(pipe, img, k=10, repeats=3):
-    """Per-run seconds via the checksum-slope protocol (see utils.timing)."""
-    from canny_edge_tpu.utils.timing import checksum_slope_seconds
+def steady_state(pipe, img, k=None, repeats=3):
+    """Per-run seconds via the checksum-slope protocol (see utils.timing).
 
-    k1 = max(2, k // 4)
-    k2 = max(k, k1 + 2)
+    Chain lengths auto-size to the input (see timing.auto_chain_lengths);
+    ``k`` caps the long chain for quick runs.
+    """
+    from canny_edge_tpu.utils.timing import (auto_chain_lengths,
+                                             checksum_slope_seconds)
+
+    k1, k2 = auto_chain_lengths(int(np.prod(img.shape)))
+    if k is not None:
+        k2 = min(k2, max(k, k1 + 2))
     return checksum_slope_seconds(pipe, img, k1=k1, k2=k2,
                                   samples=min(3, repeats))
 
@@ -46,7 +52,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="fewer iterations / smaller batch")
-    ap.add_argument("--backends", default="xla,pallas")
+    ap.add_argument("--backends", default="fused,xla,pallas")
     args = ap.parse_args()
 
     import jax
@@ -92,7 +98,7 @@ def main():
     for b in backends:
         pipe = functools.partial(canny_fn, kernel_vals=kv(1.4), backend=b,
                                  hysteresis_steps=8)
-        sec = steady_state(pipe, im, k=5 if args.quick else 20)
+        sec = steady_state(pipe, im, k=60 if args.quick else None)
         mps = im.size / sec / 1e6
         entry = {"config": "1080p s1.4", "backend": b,
                  "ms_per_frame": round(sec * 1e3, 3),
@@ -105,11 +111,11 @@ def main():
                 fe = lambda x, mn, mx: frontend_nm(x, kv(1.4),  # noqa: E731
                                                    interpret=False)
             else:
-                from canny_edge_tpu.ops.window import frontend_nm_banded
+                from canny_edge_tpu.ops.window import frontend_nm_xla
 
-                fe = lambda x, mn, mx: frontend_nm_banded(  # noqa: E731
+                fe = lambda x, mn, mx: frontend_nm_xla(  # noqa: E731
                     x, kv(1.4))
-            fe_sec = steady_state(fe, im, k=5 if args.quick else 20)
+            fe_sec = steady_state(fe, im, k=60 if args.quick else None)
             entry["roofline"] = stage_rooflines(
                 im.size, {"frontend": fe_sec,
                           "hysteresis": max(sec - fe_sec, 1e-9)},
@@ -124,17 +130,17 @@ def main():
     batch = np.stack([synthetic_image(1080, 1920, seed=i) for i in range(4)])
     batch = np.tile(batch, (B // 4, 1, 1))[:B]
     for b in backends:
-        if b == "xla":
+        if b in ("xla", "fused"):
             from canny_edge_tpu.models.canny import canny_fn_batched
 
             pipe = functools.partial(canny_fn_batched, kernel_vals=kv(1.4),
-                                     hysteresis_steps=8)
+                                     hysteresis_steps=8, backend=b)
         else:
             base = functools.partial(canny_fn, kernel_vals=kv(1.4), backend=b,
                                      hysteresis_steps=8)
             pipe = jax.vmap(base, in_axes=(0, None, None))
         try:
-            sec = steady_state(pipe, batch, k=2 if args.quick else 5)
+            sec = steady_state(pipe, batch, k=8 if args.quick else None)
         except Exception as e:
             log(f"[3] {b}: FAILED {type(e).__name__}: {e}")
             continue
@@ -153,7 +159,7 @@ def main():
     for b in backends:
         pipe = functools.partial(canny_fn, kernel_vals=kv(1.4), backend=b,
                                  hysteresis_steps=8)
-        sec = steady_state(pipe, im4k, k=2 if args.quick else 10)
+        sec = steady_state(pipe, im4k, k=40 if args.quick else None)
         mps = im4k.size / sec / 1e6
         results["configs"].append(
             {"config": "4K single image s1.4", "backend": b,
@@ -172,8 +178,8 @@ def main():
         batch_size=4, prefetch_depth=2)
     stats = runner.run(frames_synthetic(2160, 3840, n_frames, seed=1))
     results["configs"].append(
-        {"config": f"stream {n_frames}x4K s1.4 prefetch", "backend": "xla",
-         **stats.to_dict()})
+        {"config": f"stream {n_frames}x4K s1.4 prefetch",
+         "backend": model.backend, **stats.to_dict()})
     log(f"[5] stream: {stats.fps:.1f} fps  {stats.mp_per_s:.0f} MP/s "
         f"(incl. H2D via prefetch)")
 

@@ -66,7 +66,7 @@ def _frontend_kernel(img_ref, nm_ref, *, kernel_vals, th, tw, r, H, W):
     nm_ref[0, 0] = nm.astype(jnp.int16)
 
 
-def frontend_nm(img, kernel_vals, *, tile=(128, 512), interpret=None,
+def frontend_nm(img, kernel_vals, *, tile=(272, 1920), interpret=None,
                 indexing: str = "element"):
     """uint8 (H, W) -> int16 NMS magnitude (H, W), fused in one Pallas pass.
 

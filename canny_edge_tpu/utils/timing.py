@@ -102,8 +102,22 @@ def profile_stages(img: np.ndarray, sigma: float, min_val: int, max_val: int,
     return report
 
 
-def checksum_slope_seconds(pipe_fn, img: np.ndarray, *, k1: int = 4,
-                           k2: int = 16, samples: int = 3,
+def auto_chain_lengths(pixels: int) -> tuple[int, int]:
+    """Chain lengths targeting ~1.5 s of device time for the long chain.
+
+    Slope noise is (dispatch+readback jitter) / (k2 - k1), so long chains
+    are what make sub-millisecond kernels resolvable: measured spread fell
+    from +-50% at k2=20 to +-0.5% at k2=2100 for a 0.3 ms pipeline on the
+    v5e tunnel.  Sized from a ~6 GP/s planning throughput; clamped so huge
+    inputs (batched 4K) stay under a few seconds per call.
+    """
+    per_iter = max(pixels, 1) * 1.7e-13
+    k2 = int(min(4000, max(40, 1.5 / per_iter)))
+    return max(4, k2 // 20), k2
+
+
+def checksum_slope_seconds(pipe_fn, img: np.ndarray, *, k1: int | None = None,
+                           k2: int | None = None, samples: int = 3,
                            min_val: int = 30, max_val: int = 90,
                            return_samples: bool = False):
     """Per-frame seconds via the checksum-slope protocol.
@@ -115,41 +129,44 @@ def checksum_slope_seconds(pipe_fn, img: np.ndarray, *, k1: int = 4,
     and the per-frame time is the slope between two chain lengths
     (cancelling fixed dispatch/readback overhead).  ``pipe_fn(img, mn, mx)``
     must map uint8 (H, W) -> int array.
+
+    The chain length is a *traced* argument, so both lengths (and every
+    sample) share one compiled program; defaults come from
+    :func:`auto_chain_lengths`.
     """
     import jax
     import jax.numpy as jnp
 
-    h = img.shape[-2]
-    w = img.shape[-1]
+    if k1 is None or k2 is None:
+        a1, a2 = auto_chain_lengths(int(np.prod(img.shape)))
+        k1 = a1 if k1 is None else k1
+        k2 = a2 if k2 is None else k2
 
-    def chain(k):
-        @jax.jit
-        def run(x0, seed):
-            def body(i, carry):
-                chk, x = carry
-                x2 = jnp.roll(x, chk % 17 + i, axis=0) ^ (
-                    (chk + i) % 5).astype(jnp.uint8)
-                out = pipe_fn(x2, jnp.int32(min_val) + (chk % 3),
-                              jnp.int32(max_val))
-                chk2 = (chk * jnp.int32(16777619)
-                        + jnp.sum(out[::97, ::89].astype(jnp.int32))
-                        ) & jnp.int32(0x7FFFFFFF)
-                return chk2, x
-            chk, _ = jax.lax.fori_loop(0, k, body, (seed, x0))
-            return chk
-        return run
+    @jax.jit
+    def run(x0, seed, k):
+        def body(i, carry):
+            chk, x = carry
+            x2 = jnp.roll(x, chk % 17 + i, axis=0) ^ (
+                (chk + i) % 5).astype(jnp.uint8)
+            out = pipe_fn(x2, jnp.int32(min_val) + (chk % 3),
+                          jnp.int32(max_val))
+            chk2 = (chk * jnp.int32(16777619)
+                    + jnp.sum(out[..., ::97, ::89].astype(jnp.int32))
+                    ) & jnp.int32(0x7FFFFFFF)
+            return chk2, x
+        chk, _ = jax.lax.fori_loop(0, k, body, (seed, x0))
+        return chk
 
     dev = jax.device_put(img)
-    r1, r2 = chain(k1), chain(k2)
-    int(np.asarray(r1(dev, jnp.int32(1))))
-    int(np.asarray(r2(dev, jnp.int32(1))))
+    int(np.asarray(run(dev, jnp.int32(1), jnp.int32(k1))))
+    int(np.asarray(run(dev, jnp.int32(1), jnp.int32(k2))))
     slopes = []
     for s in range(2, 2 + samples):
         t0 = time.perf_counter()
-        c1 = int(np.asarray(r1(dev, jnp.int32(s))))
+        c1 = int(np.asarray(run(dev, jnp.int32(s), jnp.int32(k1))))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        c2 = int(np.asarray(r2(dev, jnp.int32(s))))
+        c2 = int(np.asarray(run(dev, jnp.int32(s), jnp.int32(k2))))
         t2 = time.perf_counter() - t0
         assert c1 != c2
         slopes.append((t2 - t1) / (k2 - k1))
