@@ -233,6 +233,105 @@ def isqrt_int32(n):
     return k
 
 
+def near_one_ulp_offset(s) -> int | None:
+    """ulp offset of host float32 ``s`` from 1.0 if |offset| <= 1, else None.
+
+    The blur's interior renormalization divisor (the full kernel weight sum,
+    re-accumulated in f32 tap order) lands within 1 ulp of 1.0 for every
+    practical sigma because the golden kernel is normalized to sum 1 in
+    double before the f32 re-sum (src/utils.cpp:77-95): measured offsets are
+    0 (sigma=1.0), +1 (sigma=1.4/2/3), -1 (sigma=0.5).
+    """
+    off = int(np.float32(s).view(np.int32)) - int(np.float32(1.0).view(np.int32))
+    return off if -1 <= off <= 1 else None
+
+
+def div_by_near_one(a, s):
+    """Correctly rounded float32 ``a / s`` for nonneg ``a`` and a host
+    constant ``s`` within 1 ulp of 1.0 — three integer ops, no multiplies.
+
+    Closed forms (a = ma * 2^(ea-150), ma in [2^23, 2^24); exhaustively
+    verified over every mantissa against NumPy division in
+    tests/test_ops_bitexact.py):
+
+    * s = 1.0:          a/s = a.
+    * s = 1 - 2^-24 (mantissa all-ones, one ulp below 1):
+          a/s = a * (1 + 1/(2^24-1)); the mantissa increment
+          ma/(2^24-1) lies in [0.5, 1) with no representable tie, and
+          exceeds 1/2 for every ma >= 2^23, so the quotient is always
+          exactly one bit-pattern above ``a`` (binade roll-over included).
+    * s = 1 + 2^-23 (one ulp above 1, B = 2^23+1):
+          quotient mantissa = round_even(ma - ma/B); ma/B in [1, 2) with
+          no tie (B odd), so subtract 1 bit-pattern, or 2 when
+          ma/B > 3/2 (ma >= 12582914) or at the binade edge ma = 2^23
+          (where round_even(2^47/B) = 2^24 - 2 in the binade below).
+
+    The bit-pattern arithmetic handles binade crossings automatically.
+    """
+    off = near_one_ulp_offset(s)
+    if off is None:
+        raise ValueError(f"divisor {s!r} not within 1 ulp of 1.0")
+    a = jnp.asarray(a, jnp.float32)
+    if off == 0:
+        return a
+    bits = jax.lax.bitcast_convert_type(a, jnp.int32)
+    if off == -1:
+        out = jax.lax.bitcast_convert_type(bits + np.int32(1), jnp.float32)
+    else:
+        ma = (bits & _MANT_MASK) | _HIDDEN
+        extra = (ma >= np.int32(12582914)) | (ma == _HIDDEN)
+        dec = np.int32(1) + extra.astype(jnp.int32)
+        out = jax.lax.bitcast_convert_type(bits - dec, jnp.float32)
+    return jnp.where(a == 0, np.float32(0), out)
+
+
+def isqrt_f32(n):
+    """Exact floor(sqrt(n)) for *integer-valued* float32 ``0 <= n <= ~2.1e6``,
+    returned as an integer-valued float32.
+
+    Same contract as :func:`isqrt_int32` but the candidate fixes run in
+    float32: every quantity involved (n, k, (k+1)^2 <= ~2.09e6) is an
+    integer below 2^24, hence exactly representable, so the f32 compares
+    and products are exact.  Float32 multiplies are substantially faster
+    than int32 multiplies on the TPU VPU (int32 products decompose into
+    multi-op sequences), which is why the fused front end uses this
+    variant.
+    """
+    k = jnp.floor(jnp.sqrt(n))
+    k1 = k + np.float32(1)
+    k = jnp.where(k1 * k1 <= n, k1, k)
+    k = jnp.where(k * k > n, k - np.float32(1), k)
+    return k
+
+
+def nms_bin_masks_f32(gx, gy):
+    """Angle-bin boolean masks (b0, b45, b90, b135) from integer-valued
+    float32 gradients, |gx|,|gy| <= 2040.
+
+    Same binning as :func:`quantize_angle_i32` (see its docstring and
+    golden.reference.quantize_angle for the equivalence proof) but computed
+    entirely in float32: all products ((ax-ay)^2 <= 4080^2 ~ 1.7e7 < 2^24,
+    2*ay^2 <= 8.4e6 < 2^24, gx*gy <= 2040^2) are exact in f32, so every
+    predicate matches the integer path bit for bit.  Returning the four
+    masks directly (instead of an encoded angle that is then compared
+    against four constants) saves the encode/decode select chains.
+    """
+    zero = np.float32(0)
+    ax = jnp.abs(gx)
+    ay = jnp.abs(gy)
+    low = (ax > ay) & (np.float32(2) * ay * ay < (ax - ay) * (ax - ay))
+    high = (ay > ax) & ((ay - ax) * (ay - ax) > np.float32(2) * ax * ax)
+    mid = ~low & ~high
+    sign_prod = gx * gy
+    same = sign_prod > zero
+    opp = sign_prod < zero
+    b45 = same & mid
+    b135 = opp & mid
+    b90 = ((gx == zero) & (gy != zero)) | ((same | opp) & high)
+    b0 = ~(b45 | b135 | b90)
+    return b0, b45, b90, b135
+
+
 def quantize_angle_int(gx, gy):
     """Quantize gradient direction to {0, 45, 90, 135} exactly.
 

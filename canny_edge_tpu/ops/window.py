@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .numerics import (exact_div_by_vector, isqrt_int32, mul_const_f32,
-                       quantize_angle_i32)
+from .numerics import (div_by_near_one, exact_div_by_vector, isqrt_f32,
+                       mul_const_f32, near_one_ulp_offset, nms_bin_masks_f32)
 
 _NMS_OOB = -32768
 
@@ -31,12 +31,55 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _kernel_sum(kernel) -> np.float32:
+    """Sequential f32 tap sum — bit-identical to the traced cnt accumulation
+    where every mask is true, so it IS the interior divisor."""
+    s = np.float32(0)
+    for t in range(kernel.shape[0]):
+        s = np.float32(s + kernel[t])
+    return s
+
+
+def _split_div(acc, cnt, s, widths, axis):
+    """Renormalization division, split into exact-edge / near-one-interior.
+
+    The divisor ``cnt`` equals the full kernel sum ``s`` everywhere except
+    within the edge ``widths`` (host-static counts along ``axis``), and
+    ``s`` is within 1 ulp of 1.0 for every practical sigma — so the
+    interior division collapses to :func:`numerics.div_by_near_one`
+    (3 integer ops/pixel) while the general fixer-based division runs only
+    on the thin static edge slices.  ``widths=None`` (or an exotic kernel
+    sum) falls back to the general path everywhere.
+    """
+    if widths is None or near_one_ulp_offset(s) is None:
+        return exact_div_by_vector(acc, cnt)
+    wl, wr = widths
+    n = acc.shape[axis]
+    if wl + wr >= n:
+        return exact_div_by_vector(acc, cnt)
+    if axis == 1:
+        parts = (exact_div_by_vector(acc[:, :wl], cnt[:, :wl]),
+                 div_by_near_one(acc[:, wl:n - wr], s),
+                 exact_div_by_vector(acc[:, n - wr:], cnt[:, n - wr:]))
+    else:
+        parts = (exact_div_by_vector(acc[:wl], cnt[:wl]),
+                 div_by_near_one(acc[wl:n - wr], s),
+                 exact_div_by_vector(acc[n - wr:], cnt[n - wr:]))
+    return jnp.concatenate(parts, axis=axis)
+
+
 def window_nm(x, row0, col0, H: int, W: int, kernel_vals, th: int, tw: int,
-              r: int):
-    """float32 (th+2r, tw+2r) zero-padded window -> int32 nm core (th, tw)."""
+              r: int, fastdiv_cols=None, fastdiv_rows=None):
+    """float32 (th+2r, tw+2r) zero-padded window -> int32 nm core (th, tw).
+
+    ``fastdiv_cols``/``fastdiv_rows``: optional (left, right) / (top,
+    bottom) static edge widths outside of which the caller guarantees the
+    renormalization count equals the full kernel sum (see :func:`_split_div`).
+    """
     kernel = np.asarray(kernel_vals, np.float32)
     window = kernel.shape[0]
     c = window // 2
+    s = _kernel_sum(kernel)
     hp, wp = th + 2 * r, tw + 2 * r
 
     # ---- blur x pass: cols [c, wp-c) of the padded window ----
@@ -51,7 +94,7 @@ def window_nm(x, row0, col0, H: int, W: int, kernel_vals, th: int, tw: int,
         # the weight-count needs masking
         acc = acc + mul_const_f32(x[:, t:t + wo], kernel[t])
         cnt = cnt + jnp.where(m, np.float32(kernel[t]), np.float32(0))
-    temp = exact_div_by_vector(acc, cnt)
+    temp = _split_div(acc, cnt, s, fastdiv_cols, axis=1)
 
     # ---- blur y pass: rows [c, hp-c) -> smoothed with margin 2 ----
     ho = hp - 2 * c
@@ -63,27 +106,34 @@ def window_nm(x, row0, col0, H: int, W: int, kernel_vals, th: int, tw: int,
         m = ((grow + off) >= 0) & ((grow + off) < H)
         acc = acc + mul_const_f32(temp[t:t + ho, :], kernel[t])
         cnt = cnt + jnp.where(m, np.float32(kernel[t]), np.float32(0))
-    sm = exact_div_by_vector(acc, cnt).astype(jnp.int32)
+    # Back half runs in float32: the blurred values, gradients, magnitudes,
+    # and every predicate operand are integers below 2^24, exactly
+    # representable in f32, and f32 multiplies are far cheaper than int32
+    # multiplies on the VPU (measured: the int32 angle/mag products cost
+    # ~0.05 ms of the 0.23 ms 1080p front end).  jnp.floor == the
+    # reference's (int) truncation for these nonnegative quotients.
+    sm = jnp.floor(_split_div(acc, cnt, s, fastdiv_rows, axis=0))
 
     # ---- sobel on the margin-1 region ----
+    two = np.float32(2)
     g2row = (row0 + c) + jax.lax.broadcasted_iota(jnp.int32, (ho - 2, 1), 0) + 1
     g2col = (col0 + c) + jax.lax.broadcasted_iota(jnp.int32, (1, wo - 2), 1) + 1
     center_c = sm[:, 1:-1]
     xl = jnp.where(g2col - 1 >= 0, sm[:, :-2], center_c)
     xr = jnp.where(g2col + 1 < W, sm[:, 2:], center_c)
     d = xr - xl
-    gx = (2 * d[1:-1, :]
-          + jnp.where(g2row + 1 < H, d[2:, :], 0)
-          + jnp.where(g2row - 1 >= 0, d[:-2, :], 0))
+    gx = (two * d[1:-1, :]
+          + jnp.where(g2row + 1 < H, d[2:, :], np.float32(0))
+          + jnp.where(g2row - 1 >= 0, d[:-2, :], np.float32(0)))
     center_r = sm[1:-1, :]
     xu = jnp.where(g2row - 1 >= 0, sm[:-2, :], center_r)
     xd = jnp.where(g2row + 1 < H, sm[2:, :], center_r)
     e = xd - xu
-    gy = (2 * e[:, 1:-1]
-          + jnp.where(g2col + 1 < W, e[:, 2:], 0)
-          + jnp.where(g2col - 1 >= 0, e[:, :-2], 0))
-    mag = isqrt_int32(gx * gx + gy * gy)
-    ang = quantize_angle_i32(gx, gy)
+    gy = (two * e[:, 1:-1]
+          + jnp.where(g2col + 1 < W, e[:, 2:], np.float32(0))
+          + jnp.where(g2col - 1 >= 0, e[:, :-2], np.float32(0)))
+    mag = isqrt_f32(gx * gx + gy * gy)
+    b0a, b45a, b90a, b135a = nms_bin_masks_f32(gx, gy)
 
     # ---- nms on the core (th, tw) ----
     g3row = (row0 + r) + jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
@@ -94,17 +144,20 @@ def window_nm(x, row0, col0, H: int, W: int, kernel_vals, th: int, tw: int,
         v = mag[1 + dr:1 + dr + th, 1 + dc:1 + dc + tw]
         inb = ((g3row + dr >= 0) & (g3row + dr < H)
                & (g3col + dc >= 0) & (g3col + dc < W))
-        return jnp.where(inb, v, np.int32(_NMS_OOB))
+        return jnp.where(inb, v, np.float32(_NMS_OOB))
 
     keep0 = (m0 > nb(0, -1)) & (m0 > nb(0, 1))
     keep45 = (m0 > nb(-1, 1)) & (m0 > nb(1, -1))
     keep90 = (m0 > nb(-1, 0)) & (m0 > nb(1, 0))
     keep135 = (m0 > nb(-1, -1)) & (m0 > nb(1, 1))
-    a0 = ang[1:-1, 1:-1]
+
+    def core(b):
+        return b[1:-1, 1:-1]
+
     # logical combination instead of select-on-bool (Mosaic i1 limitation)
-    keep = (((a0 == 0) & keep0) | ((a0 == 45) & keep45)
-            | ((a0 == 90) & keep90) | ((a0 == 135) & keep135))
-    return jnp.where(keep, m0, 0)
+    keep = ((core(b0a) & keep0) | (core(b45a) & keep45)
+            | (core(b90a) & keep90) | (core(b135a) & keep135))
+    return jnp.where(keep, m0, np.float32(0)).astype(jnp.int32)
 
 
 def window_nm_interior(x, kernel_vals, th: int, tw: int, r: int,
@@ -133,30 +186,36 @@ def window_nm_interior(x, kernel_vals, th: int, tw: int, r: int,
     # full-sum constant, accumulated in tap order exactly as the masked
     # path's cnt does (f32 rounding at each step), so interior divisors are
     # bit-identical
-    s = np.float32(0)
-    for t in range(window):
-        s = np.float32(s + kernel[t])
+    s = _kernel_sum(kernel)
+
+    if near_one_ulp_offset(s) is not None:
+        def div_s(acc, shape):
+            return div_by_near_one(acc, s)
+    else:  # exotic kernel sum: general fixer-based division
+        def div_s(acc, shape):
+            return exact_div_by_vector(acc, jnp.full(shape, s, jnp.float32))
 
     wo = wp - 2 * c
     acc = jnp.zeros((hp, wo), jnp.float32)
     for t in range(window):
         acc = acc + mul_const_f32(
             x[row_off:row_off + hp, col_off + t:col_off + t + wo], kernel[t])
-    temp = exact_div_by_vector(acc, jnp.full((1, wo), s, jnp.float32))
+    temp = div_s(acc, (1, wo))
 
     ho = hp - 2 * c
     acc = jnp.zeros((ho, wo), jnp.float32)
     for t in range(window):
         acc = acc + mul_const_f32(temp[t:t + ho, :], kernel[t])
-    sm = exact_div_by_vector(acc, jnp.full((ho, 1), s, jnp.float32)) \
-        .astype(jnp.int32)
+    # f32 back half — see window_nm for the exactness argument
+    sm = jnp.floor(div_s(acc, (ho, 1)))
 
+    two = np.float32(2)
     d = sm[:, 2:] - sm[:, :-2]
-    gx = 2 * d[1:-1, :] + d[2:, :] + d[:-2, :]
+    gx = two * d[1:-1, :] + d[2:, :] + d[:-2, :]
     e = sm[2:, :] - sm[:-2, :]
-    gy = 2 * e[:, 1:-1] + e[:, 2:] + e[:, :-2]
-    mag = isqrt_int32(gx * gx + gy * gy)
-    ang = quantize_angle_i32(gx, gy)
+    gy = two * e[:, 1:-1] + e[:, 2:] + e[:, :-2]
+    mag = isqrt_f32(gx * gx + gy * gy)
+    b0a, b45a, b90a, b135a = nms_bin_masks_f32(gx, gy)
 
     m0 = mag[1:-1, 1:-1]
 
@@ -167,10 +226,13 @@ def window_nm_interior(x, kernel_vals, th: int, tw: int, r: int,
     keep45 = (m0 > nb(-1, 1)) & (m0 > nb(1, -1))
     keep90 = (m0 > nb(-1, 0)) & (m0 > nb(1, 0))
     keep135 = (m0 > nb(-1, -1)) & (m0 > nb(1, 1))
-    a0 = ang[1:-1, 1:-1]
-    keep = (((a0 == 0) & keep0) | ((a0 == 45) & keep45)
-            | ((a0 == 90) & keep90) | ((a0 == 135) & keep135))
-    return jnp.where(keep, m0, 0)
+
+    def core(b):
+        return b[1:-1, 1:-1]
+
+    keep = ((core(b0a) & keep0) | (core(b45a) & keep45)
+            | (core(b90a) & keep90) | (core(b135a) & keep135))
+    return jnp.where(keep, m0, np.float32(0)).astype(jnp.int32)
 
 
 def frontend_nm_strips(nm, padded, img_shape, kernel_vals, r: int):
@@ -223,9 +285,14 @@ def frontend_nm_xla(img, kernel_vals, *, whole_h: int = 1440,
     c = window // 2
     r = c + 2
     if H <= whole_h:
+        # row0 = col0 = -r, so the renormalization count differs from the
+        # full kernel sum only within the first/last r rows and columns
+        # (pass-1 taps for local col j span global cols [j-r, j+c-2], which
+        # leave the image exactly when j < r or j >= wo - r; same for rows)
         padded = jnp.pad(img, r).astype(jnp.float32)
         return window_nm(padded, jnp.int32(-r), jnp.int32(-r), H, W,
-                         kernel_vals, H, W, r)
+                         kernel_vals, H, W, r,
+                         fastdiv_cols=(r, r), fastdiv_rows=(r, r))
     # equalize band heights (minimal bottom padding: large pads from a fixed
     # band_h trigger a pathological Mosaic/XLA compile on the stack+map)
     nb = cdiv(H, band_h)
@@ -253,10 +320,20 @@ def frontend_nm_banded(img, kernel_vals, *, band_h: int = 512):
                        for i in range(nb)])
     row0s = jnp.arange(nb, dtype=jnp.int32) * band_h - r
 
+    # Edge widths for the split renormalization division (see _split_div).
+    # Columns: full-width bands with col0 = -r — exactly like the
+    # whole-image case.  Rows: global-border rows appear only in each
+    # band's first r local rows (band 0) or within the last r + (hp - H)
+    # local rows (last band, which may carry hp - H padding rows past H);
+    # interior bands get the general division on those thin slices too,
+    # which is merely redundant, never wrong.
+    fd_rows = (r, min(band_h, r + (hp - H)) if hp > H else r)
+
     def one(args):
         band, row0 = args
         return window_nm(band, row0, jnp.int32(-r), H, W, kernel_vals,
-                         band_h, W, r)
+                         band_h, W, r,
+                         fastdiv_cols=(r, r), fastdiv_rows=fd_rows)
 
     nm = jax.lax.map(one, (bands, row0s))
     return nm.reshape(hp, W)[:H]

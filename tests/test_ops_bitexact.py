@@ -249,3 +249,35 @@ def test_tall_batched_bitexact(shape, thresholds):
     out = np.asarray(model.batch(imgs, mn, mx))
     for i in range(5):
         np.testing.assert_array_equal(out[i], golden.canny(imgs[i], 1.4, mn, mx))
+
+
+def test_div_by_near_one_exhaustive():
+    """Every mantissa in two binades, for all three near-one divisors that
+    the gaussian kernel sums produce (1.0, 1+1ulp, 1-1ulp), vs NumPy's
+    correctly rounded division.  This is the proof-by-exhaustion backing
+    ops.numerics.div_by_near_one (exponent invariance makes one binade
+    sufficient; a second is belt and braces)."""
+    import jax
+
+    from canny_edge_tpu.ops.numerics import div_by_near_one, near_one_ulp_offset
+
+    one = np.float32(1.0)
+    s_plus = np.int32(one.view(np.int32) + 1).view(np.float32)
+    s_minus = np.int32(one.view(np.int32) - 1).view(np.float32)
+    for ebase in (127, 104):
+        mant = np.arange(1 << 23, dtype=np.int32)
+        a = ((np.int32(ebase) << 23) | mant).view(np.float32)
+        for s in (s_plus, s_minus, one):
+            want = (a / s).astype(np.float32)
+            got = np.asarray(jax.jit(lambda x, s=s: div_by_near_one(x, s))(a))
+            np.testing.assert_array_equal(got, want)
+    for s in (s_plus, s_minus, one):
+        assert np.asarray(div_by_near_one(np.float32(0), s)) == 0
+    assert near_one_ulp_offset(np.float32(1.5)) is None
+    # every supported sigma's kernel sum must be within 1 ulp of 1.0
+    for sig in (0.5, 0.75, 1.0, 1.4, 2.0, 2.5, 3.0):
+        k = golden.gaussian_kernel(sig)
+        s = np.float32(0)
+        for t in k:
+            s = np.float32(s + t)
+        assert near_one_ulp_offset(s) is not None, sig

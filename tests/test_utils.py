@@ -41,6 +41,12 @@ def test_profile_stages_runs():
 
 
 def test_trace_helper(tmp_path):
+    """Captured-artifact check: the profiler must write a non-empty XPlane
+    protobuf (the Perfetto/TensorBoard source format), not just create the
+    directory.  Runs on whatever platform the session uses — CPU in CI,
+    the real chip under CANNY_TPU_TEST_PLATFORM=tpu."""
+    import pathlib
+
     import jax.numpy as jnp
 
     from canny_edge_tpu.utils.trace import annotate, trace
@@ -48,6 +54,6 @@ def test_trace_helper(tmp_path):
     with trace(str(tmp_path / "tr")):
         with annotate("op"):
             jnp.ones(8).sum().block_until_ready()
-    import os
-
-    assert any(os.scandir(tmp_path / "tr"))
+    planes = list(pathlib.Path(tmp_path / "tr").rglob("*.xplane.pb"))
+    assert planes, "no .xplane.pb artifact captured"
+    assert all(p.stat().st_size > 0 for p in planes)
