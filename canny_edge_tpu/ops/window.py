@@ -40,6 +40,133 @@ def _kernel_sum(kernel) -> np.float32:
     return s
 
 
+class _GCoord:
+    """Global row/col coordinate vector for border-mask predicates.
+
+    With a host-static ``base`` each predicate is first evaluated on the
+    host: an all-true predicate returns ``None`` (the mask — and with it
+    the select — is elided from the program entirely); a partial predicate
+    falls back to the same traced iota comparison the dynamic path uses,
+    so no large boolean constants are ever embedded in the executable.
+    """
+
+    def __init__(self, base, n: int, shape, axis: int):
+        self.static = isinstance(base, (int, np.integer))
+        self.base = base
+        self.np_idx = (base + np.arange(n)) if self.static else None
+        self.shape = shape
+        self.axis = axis
+        self._traced = None
+
+    def _idx(self):
+        if self._traced is None:
+            self._traced = self.base + jax.lax.broadcasted_iota(
+                jnp.int32, self.shape, self.axis)
+        return self._traced
+
+    def ge(self, off: int):
+        """Mask for ``base + i + off >= 0`` (None if always true)."""
+        if self.static and (self.np_idx + off >= 0).all():
+            return None
+        return (self._idx() + off) >= 0
+
+    def lt(self, off: int, lim: int):
+        """Mask for ``base + i + off < lim`` (None if always true)."""
+        if self.static and (self.np_idx + off < lim).all():
+            return None
+        return (self._idx() + off) < lim
+
+    def inb(self, off: int, lim: int):
+        """Mask for ``0 <= base + i + off < lim`` (None if always true)."""
+        return _and(self.ge(off), self.lt(off, lim))
+
+
+def _and(a, b):
+    """AND of optional masks (None = all-true)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a & b
+
+
+def _sel(m, a, b):
+    """``jnp.where`` with an optional mask (None = all-true -> a)."""
+    return a if m is None else jnp.where(m, a, b)
+
+
+def _host_cnt(base: int, n: int, limit: int, kernel) -> np.ndarray:
+    """Renormalization count vector, computed on the host.
+
+    ``cnt[j]`` = f32 tap-order sum of kernel weights whose texel
+    ``base + j + t - c`` lies inside ``[0, limit)`` — bit-identical to the
+    traced accumulation in :func:`window_nm` (elementwise f32 rounding at
+    every step), but a trace-time constant.
+    """
+    c = kernel.shape[0] // 2
+    idx = base + np.arange(n)
+    cnt = np.zeros(n, np.float32)
+    for t in range(kernel.shape[0]):
+        m = ((idx + t - c) >= 0) & ((idx + t - c) < limit)
+        cnt = (cnt + np.where(m, kernel[t], np.float32(0))).astype(np.float32)
+    return cnt
+
+
+def _split_div_static(acc, cnt_np, s, axis):
+    """Renormalization division against a *host-constant* count vector.
+
+    Interior (cnt == full kernel sum ``s``, within 1 ulp of 1.0 for every
+    practical sigma) collapses to :func:`numerics.div_by_near_one`; the
+    static edge slices use the 2-iteration fixer seeded by the host's
+    correctly rounded reciprocal (IEEE hardware division on the host), so
+    no reciprocal is ever computed on device.
+    """
+    n = cnt_np.shape[0]
+
+    def general(a, cv):
+        # rows/cols whose whole tap span is outside the image have
+        # cnt == 0 AND acc == 0 (zero-padded texels); the a==0 guard in
+        # exact_div_f32 forces the quotient to 0, so the divisor value is
+        # irrelevant — substitute 1 to keep the host reciprocal finite
+        cv = np.where(cv == 0, np.float32(1), cv).astype(np.float32)
+        recip = (np.float32(1) / cv).astype(np.float32)
+        k = cv.shape[0]
+        sh = (1, k) if axis == 1 else (k, 1)
+        return exact_div_by_vector(a, jnp.asarray(cv.reshape(sh)),
+                                   recip=jnp.asarray(recip.reshape(sh)))
+
+    interior = cnt_np == s
+    wl = int(np.argmax(interior)) if interior.any() else n
+    wr = int(np.argmax(interior[::-1])) if interior.any() else 0
+    if (near_one_ulp_offset(s) is None or not interior.any()
+            or not interior[wl:n - wr].all()):
+        return general(acc, cnt_np)
+    # Near-one division over the full array (3 integer ops/pixel; the
+    # edge strip values it produces are discarded), then overwrite the
+    # edges in place.  dynamic_update_slice instead of a 3-way concatenate:
+    # a lane-axis concatenate at a non-128-aligned boundary relayouts the
+    # whole array (~0.05 ms at 1080p — a third of the front end).  When the
+    # array is register-tile aligned, the edge blocks are widened to the
+    # tile granule (lanes 128 / sublanes 8): the extra fixer work on
+    # interior columns is cheaper than a misaligned narrow slice+update
+    # (0.028 -> 0.022 ms per pass measured), and the fixer result equals
+    # the near-one result wherever cnt == s (both correctly rounded).
+    granule = 128 if axis == 1 else 8
+    if n % granule == 0 and n >= 2 * granule:
+        wl = -(-wl // granule) * granule
+        wr = -(-wr // granule) * granule
+    out = div_by_near_one(acc, s)
+    if wl:
+        left = general(acc[:, :wl] if axis == 1 else acc[:wl], cnt_np[:wl])
+        out = jax.lax.dynamic_update_slice(out, left, (0, 0))
+    if wr:
+        right = general(acc[:, n - wr:] if axis == 1 else acc[n - wr:],
+                        cnt_np[n - wr:])
+        start = (0, n - wr) if axis == 1 else (n - wr, 0)
+        out = jax.lax.dynamic_update_slice(out, right, start)
+    return out
+
+
 def _split_div(acc, cnt, s, widths, axis):
     """Renormalization division, split into exact-edge / near-one-interior.
 
@@ -72,79 +199,100 @@ def window_nm(x, row0, col0, H: int, W: int, kernel_vals, th: int, tw: int,
               r: int, fastdiv_cols=None, fastdiv_rows=None):
     """float32 (th+2r, tw+2r) zero-padded window -> int32 nm core (th, tw).
 
+    ``row0``/``col0`` may be traced scalars (Pallas restack kernel: offsets
+    come from ``program_id``) or Python ints.  With host-static offsets
+    every border mask is a trace-time constant — all-true masks disappear
+    entirely (:func:`_where`), the renormalization count becomes a host
+    vector, and its division splits into near-one interior + host-seeded
+    edge fixups (:func:`_split_div_static`): measured 0.23 -> 0.17 ms for
+    the whole-image 1080p front end on v5e.
+
     ``fastdiv_cols``/``fastdiv_rows``: optional (left, right) / (top,
-    bottom) static edge widths outside of which the caller guarantees the
-    renormalization count equals the full kernel sum (see :func:`_split_div`).
+    bottom) static edge widths outside of which a *traced-offset* caller
+    guarantees the renormalization count equals the full kernel sum (see
+    :func:`_split_div`); ignored for static offsets.
     """
     kernel = np.asarray(kernel_vals, np.float32)
     window = kernel.shape[0]
     c = window // 2
     s = _kernel_sum(kernel)
     hp, wp = th + 2 * r, tw + 2 * r
+    static_c = isinstance(col0, (int, np.integer))
+    static_r = isinstance(row0, (int, np.integer))
 
     # ---- blur x pass: cols [c, wp-c) of the padded window ----
+    # out-of-image texels are zero, so their taps add exact +0.0 — only
+    # the weight-count needs masking
     wo = wp - 2 * c
-    gcol = col0 + c + jax.lax.broadcasted_iota(jnp.int32, (1, wo), 1)
     acc = jnp.zeros((hp, wo), jnp.float32)
-    cnt = jnp.zeros((1, wo), jnp.float32)
     for t in range(window):
-        off = t - c
-        m = ((gcol + off) >= 0) & ((gcol + off) < W)
-        # out-of-image texels are zero, so their taps add exact +0.0 — only
-        # the weight-count needs masking
         acc = acc + mul_const_f32(x[:, t:t + wo], kernel[t])
-        cnt = cnt + jnp.where(m, np.float32(kernel[t]), np.float32(0))
-    temp = _split_div(acc, cnt, s, fastdiv_cols, axis=1)
+    if static_c:
+        temp = _split_div_static(acc, _host_cnt(col0 + c, wo, W, kernel),
+                                 s, axis=1)
+    else:
+        gcol = col0 + c + jax.lax.broadcasted_iota(jnp.int32, (1, wo), 1)
+        cnt = jnp.zeros((1, wo), jnp.float32)
+        for t in range(window):
+            off = t - c
+            m = ((gcol + off) >= 0) & ((gcol + off) < W)
+            cnt = cnt + jnp.where(m, np.float32(kernel[t]), np.float32(0))
+        temp = _split_div(acc, cnt, s, fastdiv_cols, axis=1)
 
     # ---- blur y pass: rows [c, hp-c) -> smoothed with margin 2 ----
     ho = hp - 2 * c
-    grow = row0 + c + jax.lax.broadcasted_iota(jnp.int32, (ho, 1), 0)
     acc = jnp.zeros((ho, wo), jnp.float32)
-    cnt = jnp.zeros((ho, 1), jnp.float32)
     for t in range(window):
-        off = t - c
-        m = ((grow + off) >= 0) & ((grow + off) < H)
         acc = acc + mul_const_f32(temp[t:t + ho, :], kernel[t])
-        cnt = cnt + jnp.where(m, np.float32(kernel[t]), np.float32(0))
+    if static_r:
+        div = _split_div_static(acc, _host_cnt(row0 + c, ho, H, kernel),
+                                s, axis=0)
+    else:
+        grow = row0 + c + jax.lax.broadcasted_iota(jnp.int32, (ho, 1), 0)
+        cnt = jnp.zeros((ho, 1), jnp.float32)
+        for t in range(window):
+            off = t - c
+            m = ((grow + off) >= 0) & ((grow + off) < H)
+            cnt = cnt + jnp.where(m, np.float32(kernel[t]), np.float32(0))
+        div = _split_div(acc, cnt, s, fastdiv_rows, axis=0)
     # Back half runs in float32: the blurred values, gradients, magnitudes,
     # and every predicate operand are integers below 2^24, exactly
     # representable in f32, and f32 multiplies are far cheaper than int32
     # multiplies on the VPU (measured: the int32 angle/mag products cost
     # ~0.05 ms of the 0.23 ms 1080p front end).  jnp.floor == the
     # reference's (int) truncation for these nonnegative quotients.
-    sm = jnp.floor(_split_div(acc, cnt, s, fastdiv_rows, axis=0))
+    sm = jnp.floor(div)
 
     # ---- sobel on the margin-1 region ----
     two = np.float32(2)
-    g2row = (row0 + c) + jax.lax.broadcasted_iota(jnp.int32, (ho - 2, 1), 0) + 1
-    g2col = (col0 + c) + jax.lax.broadcasted_iota(jnp.int32, (1, wo - 2), 1) + 1
+    g2row = _GCoord(row0 + c + 1, ho - 2, (ho - 2, 1), 0)
+    g2col = _GCoord(col0 + c + 1, wo - 2, (1, wo - 2), 1)
     center_c = sm[:, 1:-1]
-    xl = jnp.where(g2col - 1 >= 0, sm[:, :-2], center_c)
-    xr = jnp.where(g2col + 1 < W, sm[:, 2:], center_c)
+    xl = _sel(g2col.ge(-1), sm[:, :-2], center_c)
+    xr = _sel(g2col.lt(1, W), sm[:, 2:], center_c)
     d = xr - xl
     gx = (two * d[1:-1, :]
-          + jnp.where(g2row + 1 < H, d[2:, :], np.float32(0))
-          + jnp.where(g2row - 1 >= 0, d[:-2, :], np.float32(0)))
+          + _sel(g2row.lt(1, H), d[2:, :], np.float32(0))
+          + _sel(g2row.ge(-1), d[:-2, :], np.float32(0)))
     center_r = sm[1:-1, :]
-    xu = jnp.where(g2row - 1 >= 0, sm[:-2, :], center_r)
-    xd = jnp.where(g2row + 1 < H, sm[2:, :], center_r)
+    xu = _sel(g2row.ge(-1), sm[:-2, :], center_r)
+    xd = _sel(g2row.lt(1, H), sm[2:, :], center_r)
     e = xd - xu
     gy = (two * e[:, 1:-1]
-          + jnp.where(g2col + 1 < W, e[:, 2:], np.float32(0))
-          + jnp.where(g2col - 1 >= 0, e[:, :-2], np.float32(0)))
+          + _sel(g2col.lt(1, W), e[:, 2:], np.float32(0))
+          + _sel(g2col.ge(-1), e[:, :-2], np.float32(0)))
     mag = isqrt_f32(gx * gx + gy * gy)
     b0a, b45a, b90a, b135a = nms_bin_masks_f32(gx, gy)
 
     # ---- nms on the core (th, tw) ----
-    g3row = (row0 + r) + jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
-    g3col = (col0 + r) + jax.lax.broadcasted_iota(jnp.int32, (1, tw), 1)
+    g3row = _GCoord(row0 + r, th, (th, 1), 0)
+    g3col = _GCoord(col0 + r, tw, (1, tw), 1)
     m0 = mag[1:-1, 1:-1]
 
     def nb(dr, dc):
         v = mag[1 + dr:1 + dr + th, 1 + dc:1 + dc + tw]
-        inb = ((g3row + dr >= 0) & (g3row + dr < H)
-               & (g3col + dc >= 0) & (g3col + dc < W))
-        return jnp.where(inb, v, np.float32(_NMS_OOB))
+        return _sel(_and(g3row.inb(dr, H), g3col.inb(dc, W)),
+                    v, np.float32(_NMS_OOB))
 
     keep0 = (m0 > nb(0, -1)) & (m0 > nb(0, 1))
     keep45 = (m0 > nb(-1, 1)) & (m0 > nb(1, -1))
@@ -235,6 +383,123 @@ def window_nm_interior(x, kernel_vals, th: int, tw: int, r: int,
     return jnp.where(keep, m0, np.float32(0)).astype(jnp.int32)
 
 
+def frontend_nm_static(x, row0: int, nrows: int, H: int, W: int,
+                       kernel_vals):
+    """Select-free static front end for output rows [row0, row0+nrows).
+
+    ``x``: float32 ``(nrows + 2r, W + 2r)`` window holding global rows
+    ``[row0-r, row0+nrows+r)`` x cols ``[-r, W+r)``, zero beyond the image
+    (the same window layout :func:`window_nm` takes).  ``row0`` must be a
+    Python int; every border case is resolved at trace time into static
+    slices and single-row/col pads, so the traced program contains **no
+    border selects and no mask compares at all** — the reason this runs at
+    the maskless-interior speed (0.15 ms vs 0.23 ms for the select-based
+    form at 1080p on v5e) while remaining bit-exact to the golden model
+    everywhere:
+
+    * blur: out-of-image taps read zero-padded texels (exact +0.0), and
+      the renormalization count is a host-computed f32 vector
+      (:func:`_host_cnt`) whose division splits into near-one interior +
+      host-seeded edge fixups (:func:`_split_div_static`);
+    * sobel ``xl/xr/xu/xd`` edge replication (src/utils.cpp:196-205) is
+      clamp-to-edge: a 1-texel replicate-pad at static image borders;
+    * the directional zero terms of gx/gy are zero-row/col pads;
+    * NMS out-of-image neighbours are a constant-pad with the OOB
+      sentinel.
+
+    Rows of the window beyond the image (a trailing band's padding) yield
+    zero output rows.
+    """
+    kernel = np.asarray(kernel_vals, np.float32)
+    window = kernel.shape[0]
+    c = window // 2
+    r = c + 2
+    s = _kernel_sum(kernel)
+
+    # ---- blur x pass: cols [0, W) only (borders via static cnt) ----
+    # global col g taps x cols [g + r - c, g + r + c]
+    acc = jnp.zeros((x.shape[0], W), jnp.float32)
+    for t in range(window):
+        acc = acc + mul_const_f32(x[:, r - c + t:r - c + t + W], kernel[t])
+    temp = _split_div_static(acc, _host_cnt(0, W, W, kernel), s, axis=1)
+
+    # ---- blur y pass: sm rows [sm_lo, sm_hi) = [row0-2, row0+nrows+2)
+    #      clamped to the image ----
+    sm_lo = max(row0 - 2, 0)
+    sm_hi = min(row0 + nrows + 2, H)
+    nsm = sm_hi - sm_lo
+    # sm row g taps temp rows [g - c, g + c] -> x-row index g - row0 + r + off
+    t0 = sm_lo - row0 + r - c
+    acc = jnp.zeros((nsm, W), jnp.float32)
+    for t in range(window):
+        acc = acc + mul_const_f32(temp[t0 + t:t0 + t + nsm, :], kernel[t])
+    sm = jnp.floor(_split_div_static(acc, _host_cnt(sm_lo, nsm, H, kernel),
+                                     s, axis=0))
+
+    # ---- sobel rows [g_lo, g_hi) = [row0-1, row0+nrows+1) clamped ----
+    two = np.float32(2)
+    g_lo = max(row0 - 1, 0)
+    g_hi = min(row0 + nrows + 1, H)
+
+    def rows(lo, hi, arr, arr_lo):
+        return arr[lo - arr_lo:hi - arr_lo]
+
+    # d rows [d_lo, d_hi): the in-image rows feeding gx's 3-row stencil
+    d_lo = max(g_lo - 1, 0)
+    d_hi = min(g_hi + 1, H)
+    smc = jnp.pad(rows(d_lo, d_hi, sm, sm_lo), ((0, 0), (1, 1)),
+                  mode="edge")
+    d = smc[:, 2:] - smc[:, :-2]
+    # zero rows exactly where the image ends (never where margins exist)
+    zrow = jnp.zeros((1, W), jnp.float32)
+    dz = jnp.concatenate(
+        ([zrow] if d_lo == g_lo else []) + [d]
+        + ([zrow] if d_hi == g_hi else []), axis=0)
+    gx = two * dz[1:-1, :] + dz[2:, :] + dz[:-2, :]
+
+    # e rows [g_lo, g_hi): sm clamped-to-edge over [g_lo-1, g_hi+1)
+    smr = jnp.concatenate(
+        ([rows(sm_lo, sm_lo + 1, sm, sm_lo)] if g_lo - 1 < 0 else
+         [rows(g_lo - 1, g_lo, sm, sm_lo)])
+        + [rows(g_lo, g_hi, sm, sm_lo)]
+        + ([rows(sm_hi - 1, sm_hi, sm, sm_lo)] if g_hi + 1 > H else
+           [rows(g_hi, g_hi + 1, sm, sm_lo)]), axis=0)
+    e = smr[2:, :] - smr[:-2, :]
+    ez = jnp.pad(e, ((0, 0), (1, 1)))
+    gy = two * e + ez[:, 2:] + ez[:, :-2]
+
+    mag = isqrt_f32(gx * gx + gy * gy)
+    b0a, b45a, b90a, b135a = nms_bin_masks_f32(gx, gy)
+
+    # ---- nms rows [n_lo, n_hi) = [row0, row0+nrows) clamped ----
+    n_lo = max(row0, 0)
+    n_hi = min(row0 + nrows, H)
+    nn = n_hi - n_lo
+    oob = np.float32(_NMS_OOB)
+    magx = jnp.pad(rows(max(n_lo - 1, 0), min(n_hi + 1, H), mag, g_lo),
+                   ((1 if n_lo - 1 < 0 else 0, 1 if n_hi + 1 > H else 0),
+                    (1, 1)), constant_values=oob)
+
+    def nb(dr, dc):
+        return magx[1 + dr:1 + dr + nn, 1 + dc:1 + dc + W]
+
+    m0 = nb(0, 0)
+    keep0 = (m0 > nb(0, -1)) & (m0 > nb(0, 1))
+    keep45 = (m0 > nb(-1, 1)) & (m0 > nb(1, -1))
+    keep90 = (m0 > nb(-1, 0)) & (m0 > nb(1, 0))
+    keep135 = (m0 > nb(-1, -1)) & (m0 > nb(1, 1))
+
+    def core(b):
+        return rows(n_lo, n_hi, b, g_lo)
+
+    keep = ((core(b0a) & keep0) | (core(b45a) & keep45)
+            | (core(b90a) & keep90) | (core(b135a) & keep135))
+    nm = jnp.where(keep, m0, np.float32(0)).astype(jnp.int32)
+    if nn < nrows:  # trailing all-padding rows of the last band
+        nm = jnp.pad(nm, ((n_lo - row0, row0 + nrows - n_hi), (0, 0)))
+    return nm
+
+
 def frontend_nm_strips(nm, padded, img_shape, kernel_vals, r: int):
     """Overwrite the r-wide border frame of ``nm`` with the exact masked
     computation, evaluated on four thin strips.
@@ -247,15 +512,15 @@ def frontend_nm_strips(nm, padded, img_shape, kernel_vals, r: int):
     sh = min(r, H)       # horizontal strip height
     sv = min(r, W)       # vertical strip width
     # top / bottom strips: (sh, W)
-    top = window_nm(padded[:sh + 2 * r, :], jnp.int32(-r), jnp.int32(-r),
+    top = window_nm(padded[:sh + 2 * r, :], -r, -r,
                     H, W, kernel_vals, sh, W, r)
-    bot = window_nm(padded[H - sh:, :], jnp.int32(H - sh - r), jnp.int32(-r),
+    bot = window_nm(padded[H - sh:, :], H - sh - r, -r,
                     H, W, kernel_vals, sh, W, r)
     # left / right strips: (H, sv)
-    left = window_nm(padded[:, :sv + 2 * r], jnp.int32(-r), jnp.int32(-r),
+    left = window_nm(padded[:, :sv + 2 * r], -r, -r,
                      H, W, kernel_vals, H, sv, r)
-    right = window_nm(padded[:, W - sv:], jnp.int32(-r),
-                      jnp.int32(W - sv - r), H, W, kernel_vals, H, sv, r)
+    right = window_nm(padded[:, W - sv:], -r,
+                      W - sv - r, H, W, kernel_vals, H, sv, r)
     dt = nm.dtype
     nm = jax.lax.dynamic_update_slice(nm, left.astype(dt), (0, 0))
     nm = jax.lax.dynamic_update_slice(nm, right.astype(dt), (0, W - sv))
@@ -285,14 +550,9 @@ def frontend_nm_xla(img, kernel_vals, *, whole_h: int = 1440,
     c = window // 2
     r = c + 2
     if H <= whole_h:
-        # row0 = col0 = -r, so the renormalization count differs from the
-        # full kernel sum only within the first/last r rows and columns
-        # (pass-1 taps for local col j span global cols [j-r, j+c-2], which
-        # leave the image exactly when j < r or j >= wo - r; same for rows)
+        # select-free static formulation (see frontend_nm_static)
         padded = jnp.pad(img, r).astype(jnp.float32)
-        return window_nm(padded, jnp.int32(-r), jnp.int32(-r), H, W,
-                         kernel_vals, H, W, r,
-                         fastdiv_cols=(r, r), fastdiv_rows=(r, r))
+        return frontend_nm_static(padded, 0, H, H, W, kernel_vals)
     # equalize band heights (minimal bottom padding: large pads from a fixed
     # band_h trigger a pathological Mosaic/XLA compile on the stack+map)
     nb = cdiv(H, band_h)
@@ -316,24 +576,35 @@ def frontend_nm_banded(img, kernel_vals, *, band_h: int = 512):
     hp = nb * band_h
 
     padded = jnp.pad(img, ((r, hp - H + r), (r, r))).astype(jnp.float32)
-    bands = jnp.stack([padded[i * band_h:i * band_h + band_h + 2 * r, :]
-                       for i in range(nb)])
-    row0s = jnp.arange(nb, dtype=jnp.int32) * band_h - r
 
-    # Edge widths for the split renormalization division (see _split_div).
-    # Columns: full-width bands with col0 = -r — exactly like the
-    # whole-image case.  Rows: global-border rows appear only in each
-    # band's first r local rows (band 0) or within the last r + (hp - H)
-    # local rows (last band, which may carry hp - H padding rows past H);
-    # interior bands get the general division on those thin slices too,
-    # which is merely redundant, never wrong.
-    fd_rows = (r, min(band_h, r + (hp - H)) if hp > H else r)
+    def band_window(i):
+        return padded[i * band_h:i * band_h + band_h + 2 * r, :]
 
-    def one(args):
-        band, row0 = args
-        return window_nm(band, row0, jnp.int32(-r), H, W, kernel_vals,
-                         band_h, W, r,
-                         fastdiv_cols=(r, r), fastdiv_rows=fd_rows)
+    def is_interior(i):
+        # every row in band i's dependency cone lies strictly inside the
+        # image: rows touched span [i*band_h - r, (i+1)*band_h + r)
+        return i * band_h - r >= 0 and (i + 1) * band_h + r <= H
 
-    nm = jax.lax.map(one, (bands, row0s))
-    return nm.reshape(hp, W)[:H]
+    # Interior bands (dependency cone strictly inside the image) have no
+    # border cases at all, so their traced program is independent of row0 —
+    # one shared program under lax.map (any interior representative row0
+    # produces it).  The few border bands (first / last one or two) get
+    # their own host-static select-free programs (frontend_nm_static).
+    interior = [i for i in range(nb) if is_interior(i)]
+    specials = [i for i in range(nb) if not is_interior(i)]
+    outs = [None] * nb
+    if interior:
+        stacked = jnp.stack([band_window(i) for i in interior])
+        rep_row0 = interior[0] * band_h
+
+        def one(band):
+            return frontend_nm_static(band, rep_row0, band_h, H, W,
+                                      kernel_vals)
+
+        mapped = jax.lax.map(one, stacked)
+        for k, i in enumerate(interior):
+            outs[i] = mapped[k]
+    for i in specials:
+        outs[i] = frontend_nm_static(band_window(i), i * band_h, band_h,
+                                     H, W, kernel_vals)
+    return jnp.concatenate(outs, axis=0)[:H]
