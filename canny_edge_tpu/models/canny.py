@@ -54,13 +54,22 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
             hysteresis_steps=hysteresis_steps)
     from ..ops.window import frontend_nm_xla
 
-    nm = frontend_nm_xla(img, kernel_vals)
     if backend == "fused":
-        from ..kernels.hysteresis_packed import hysteresis_packed_pallas
+        from ..kernels.hysteresis_packed import hysteresis_packed_pallas_masks
+        from ..ops.packed import unpack_mask
 
-        # Pallas VMEM-resident packed flood: 0.066 ms vs 0.101 ms for the
-        # XLA packed flood at 1080p (the VMEM kernel's rounds touch no HBM)
-        return hysteresis_packed_pallas(nm, min_val, max_val, inner_dilate=4)
+        # thresholds fused into the front-end program: the full-size nm map
+        # is never materialized in HBM — the front end writes 0.52 MB of
+        # bit-packed weak/strong masks (1080p) which the Pallas
+        # VMEM-resident flood kernel (0.066 ms vs 0.101 ms for the XLA
+        # packed flood) consumes directly
+        h, w = img.shape[-2], img.shape[-1]
+        weak_p, strong_p = frontend_nm_xla(img, kernel_vals,
+                                           thresholds=(min_val, max_val))
+        edges = hysteresis_packed_pallas_masks(weak_p, strong_p, h, w,
+                                               inner_dilate=4)
+        return jnp.where(unpack_mask(edges, w), jnp.int16(255), jnp.int16(0))
+    nm = frontend_nm_xla(img, kernel_vals)
     from ..ops.packed import hysteresis_packed
 
     # bit-packed flood: same fixed point as stages.hysteresis, ~3-6x faster

@@ -384,7 +384,7 @@ def window_nm_interior(x, kernel_vals, th: int, tw: int, r: int,
 
 
 def frontend_nm_static(x, row0: int, nrows: int, H: int, W: int,
-                       kernel_vals):
+                       kernel_vals, thresholds=None):
     """Select-free static front end for output rows [row0, row0+nrows).
 
     ``x``: float32 ``(nrows + 2r, W + 2r)`` window holding global rows
@@ -409,6 +409,14 @@ def frontend_nm_static(x, row0: int, nrows: int, H: int, W: int,
 
     Rows of the window beyond the image (a trailing band's padding) yield
     zero output rows.
+
+    ``thresholds``: optional ``(min_val, max_val)`` traced scalars.  When
+    given, the return value is the pair of *bit-packed* uint32
+    ``(weak, strong)`` hysteresis masks (ops.packed layout) instead of the
+    int32 nm map: the threshold compares and the 32-to-1 packing fuse into
+    the front-end program, so the full-size nm array is never written to
+    HBM — the downstream VMEM flood kernel reads 0.52 MB of masks instead
+    of 8.3 MB of magnitudes (1080p).
     """
     kernel = np.asarray(kernel_vals, np.float32)
     window = kernel.shape[0]
@@ -494,7 +502,18 @@ def frontend_nm_static(x, row0: int, nrows: int, H: int, W: int,
 
     keep = ((core(b0a) & keep0) | (core(b45a) & keep45)
             | (core(b90a) & keep90) | (core(b135a) & keep135))
-    nm = jnp.where(keep, m0, np.float32(0)).astype(jnp.int32)
+    nmf = jnp.where(keep, m0, np.float32(0))
+    if thresholds is not None:
+        from .packed import pack_mask
+
+        mn, mx = thresholds
+        weak = pack_mask(nmf >= jnp.asarray(mn, jnp.float32))
+        strong = pack_mask(nmf >= jnp.asarray(mx, jnp.float32))
+        if nn < nrows:
+            padr = ((n_lo - row0, row0 + nrows - n_hi), (0, 0))
+            weak, strong = jnp.pad(weak, padr), jnp.pad(strong, padr)
+        return weak, strong
+    nm = nmf.astype(jnp.int32)
     if nn < nrows:  # trailing all-padding rows of the last band
         nm = jnp.pad(nm, ((n_lo - row0, row0 + nrows - n_hi), (0, 0)))
     return nm
@@ -530,20 +549,17 @@ def frontend_nm_strips(nm, padded, img_shape, kernel_vals, r: int):
 
 
 def frontend_nm_xla(img, kernel_vals, *, whole_h: int = 1440,
-                    band_h: int = 720):
+                    band_h: int = 720, thresholds=None):
     """uint8 (H, W) -> int32 NMS magnitude: production XLA front end.
 
-    One masked whole-image ``window_nm`` program for images up to
-    ``whole_h`` rows; ``band_h``-row bands above that (XLA:TPU stencil
-    throughput peaks near ~720-row programs at 4K — v5e profile: 0.92 ms
-    banded-720 vs 1.08 whole-image at 2160x3840, while at 1080p the whole
-    image wins, 0.232 vs 0.341 banded-512).
+    One select-free whole-image program (:func:`frontend_nm_static`) for
+    images up to ``whole_h`` rows; ``band_h``-row bands above that
+    (XLA:TPU stencil throughput peaks near ~720-row programs at 4K — v5e
+    profile: 0.92 ms banded-720 vs 1.08 whole-image at 2160x3840, while
+    at 1080p the whole image wins, 0.157 vs ~0.34 banded-512).
 
-    The maskless+strips formulation (:func:`window_nm_interior` +
-    :func:`frontend_nm_strips`) measured *slower* here — XLA's fused
-    selects make the border masks nearly free (0.024 ms at 1080p) while
-    the strip stitch costs 0.124 ms — so it is used only by the Pallas
-    kernel, where Mosaic's mask cost is ~6x higher.
+    ``thresholds``: see :func:`frontend_nm_static` — returns packed
+    (weak, strong) masks instead of nm, never materializing nm in HBM.
     """
     H, W = img.shape
     window = len(kernel_vals)
@@ -552,20 +568,24 @@ def frontend_nm_xla(img, kernel_vals, *, whole_h: int = 1440,
     if H <= whole_h:
         # select-free static formulation (see frontend_nm_static)
         padded = jnp.pad(img, r).astype(jnp.float32)
-        return frontend_nm_static(padded, 0, H, H, W, kernel_vals)
+        return frontend_nm_static(padded, 0, H, H, W, kernel_vals,
+                                  thresholds=thresholds)
     # equalize band heights (minimal bottom padding: large pads from a fixed
     # band_h trigger a pathological Mosaic/XLA compile on the stack+map)
     nb = cdiv(H, band_h)
     bh = cdiv(cdiv(H, nb), 8) * 8
-    return frontend_nm_banded(img, kernel_vals, band_h=bh)
+    return frontend_nm_banded(img, kernel_vals, band_h=bh,
+                              thresholds=thresholds)
 
 
-def frontend_nm_banded(img, kernel_vals, *, band_h: int = 512):
+def frontend_nm_banded(img, kernel_vals, *, band_h: int = 512,
+                       thresholds=None):
     """uint8 (H, W) -> int32 NMS magnitude (H, W): XLA band-mapped front end.
 
     Full-width row bands with stencil halos run sequentially under
     ``lax.map``, each as a band-sized 2-D program (the size regime where
     XLA's stencil throughput peaks).  Bit-exact vs the stage composition.
+    ``thresholds``: see :func:`frontend_nm_static`.
     """
     H, W = img.shape
     window = len(kernel_vals)
@@ -599,12 +619,16 @@ def frontend_nm_banded(img, kernel_vals, *, band_h: int = 512):
 
         def one(band):
             return frontend_nm_static(band, rep_row0, band_h, H, W,
-                                      kernel_vals)
+                                      kernel_vals, thresholds=thresholds)
 
         mapped = jax.lax.map(one, stacked)
         for k, i in enumerate(interior):
-            outs[i] = mapped[k]
+            outs[i] = jax.tree.map(lambda a, k=k: a[k], mapped)
     for i in specials:
         outs[i] = frontend_nm_static(band_window(i), i * band_h, band_h,
-                                     H, W, kernel_vals)
+                                     H, W, kernel_vals,
+                                     thresholds=thresholds)
+    if thresholds is not None:
+        return (jnp.concatenate([o[0] for o in outs], axis=0)[:H],
+                jnp.concatenate([o[1] for o in outs], axis=0)[:H])
     return jnp.concatenate(outs, axis=0)[:H]
