@@ -43,8 +43,8 @@ def _hyst_packed_kernel(weak_ref, strong_ref, out_ref, *, height, width,
                         inner_dilate):
     w = weak_ref[:]
 
-    def one_round(e):
-        e = jax.lax.fori_loop(0, inner_dilate,
+    def rest_of_round(e):
+        e = jax.lax.fori_loop(0, inner_dilate - 1,
                               lambda i, x: dilate_packed(x, w), e)
         e = hflood(e, w, width)
         e = vflood(e, w, height)
@@ -52,8 +52,16 @@ def _hyst_packed_kernel(weak_ref, strong_ref, out_ref, *, height, width,
 
     def body(state):
         e, _ = state
-        new = one_round(e)
-        return new, _any_nonzero(new ^ e)
+        # One dilation is the exact fixed-point test: dilate(e) == e means
+        # no 8-neighbour expansion is possible, and floods only add pixels
+        # a dilation would also add.  So the final (verification) round
+        # costs one dilation + compare instead of a full round (~6 us vs
+        # ~28 us at 1080p), and non-final rounds lose nothing — the
+        # dilation is the round's first step either way.
+        d1 = dilate_packed(e, w)
+        changed = _any_nonzero(d1 ^ e)
+        new = jax.lax.cond(changed, rest_of_round, lambda x: x, d1)
+        return new, changed
 
     # the round body is instantiated once, inside the loop (initial flag
     # True runs round 1 there) — the Mosaic program is half the size of the
