@@ -1,17 +1,23 @@
-"""Per-stage roofline model: minimum HBM bytes vs achieved throughput.
+"""Per-stage roofline model: HBM-bandwidth AND VPU-compute floors.
 
-The Canny stages are stencils — near-zero arithmetic intensity — so the
-memory-side speed-of-light on TPU is HBM bandwidth (the reference's nvprof
-screenshots, README.md:50-71, measure the same thing on an RTX 2070).  This
-module computes each stage's *minimum* HBM traffic (one read of every input
-byte + one write of every output byte, assuming perfect fusion of everything
-else) and reports the achieved fraction of the bandwidth roofline.
+Classic stencils are bandwidth-bound, and the reference's nvprof
+screenshots (README.md:50-71) measure exactly that on an RTX 2070.  This
+pipeline is different: the bit-exactness contract forces ~100 f32/integer
+VPU ops per pixel (exact renormalization division, isqrt fixups, angle
+predicates, per-tap rounding order), so after round-2's fusion work the
+binding constraint is the VPU issue rate, not HBM.  Each stage therefore
+carries two floors:
 
-A LOW % of SoL here does not necessarily mean wasted bandwidth: the
-bit-exact pipeline is VPU-compute-bound (exact renormalization division,
-isqrt and angle predicates cost ~200 integer ops/pixel), so the bandwidth
-roofline is an upper bound, not the binding constraint.  The report makes
-the gap visible either way, per BASELINE.json's north star.
+* memory floor — minimum HBM traffic (one read of every input byte + one
+  write of every output byte, perfect fusion assumed) at the chip's
+  published bandwidth;
+* compute floor — the stage's unavoidable op count per pixel (counted from
+  the traced formulation, see the per-stage notes) at the VPU's peak
+  vector issue rate.
+
+The speed-of-light for the stage is the larger of the two, and the report
+names which one binds — so a low % against the *bandwidth* line alone is
+not read as waste, per BASELINE.json's north star.
 """
 
 from __future__ import annotations
@@ -27,6 +33,17 @@ HBM_BW_GBPS = {
 }
 DEFAULT_BW = 819.0
 
+# Peak VPU vector ops/s per chip: 8 sublanes x 128 lanes x 4 ALU ports x
+# clock.  Clocks from published specs; treat as the optimistic ceiling a
+# perfectly scheduled elementwise program could approach.
+VPU_OPS_PER_S = {
+    "TPU v4": 4.3e12,       # ~1.05 GHz
+    "TPU v5 lite": 3.85e12,  # ~0.94 GHz
+    "TPU v5": 7.2e12,       # ~1.75 GHz
+    "TPU v6 lite": 3.85e12,
+}
+DEFAULT_VPU = 3.85e12
+
 
 def chip_bandwidth_gbps(device_kind: str) -> float:
     for k, v in HBM_BW_GBPS.items():
@@ -35,40 +52,58 @@ def chip_bandwidth_gbps(device_kind: str) -> float:
     return DEFAULT_BW
 
 
+def chip_vpu_ops(device_kind: str) -> float:
+    for k, v in VPU_OPS_PER_S.items():
+        if device_kind.startswith(k):
+            return v
+    return DEFAULT_VPU
+
+
 @dataclass
 class StageTraffic:
-    """Minimum HBM bytes per pixel (read + write) for one stage."""
+    """Minimum HBM bytes and VPU ops per pixel for one stage."""
     name: str
     bytes_per_pixel: float
+    ops_per_pixel: float = 0.0
 
-    def min_seconds(self, pixels: int, bw_gbps: float) -> float:
+    def mem_seconds(self, pixels: int, bw_gbps: float) -> float:
         return self.bytes_per_pixel * pixels / (bw_gbps * 1e9)
 
+    def compute_seconds(self, pixels: int, vpu_ops: float) -> float:
+        return self.ops_per_pixel * pixels / vpu_ops
+
 
 # ---------------------------------------------------------------------------
-# Stage traffic models for the production pipelines (round-2 architecture)
+# Stage models for the production pipelines (round-2 architecture)
 # ---------------------------------------------------------------------------
+# Front-end op count (select-free static formulation, sigma=1.4 / window 11):
+#   blur 2x(11 mul + 10 add) = 42, near-one divisions ~8, sobel ~8,
+#   isqrt (sqrt+floor+2 fixes) ~9, angle-bin predicates ~14, nms compares
+#   ~21, border pads ~5  => ~105 ops/px.
+# Packed hysteresis: ~10 word-ops/px/round over 32-px words x ~2.5 rounds
+#   + threshold/pack/unpack ~12  => ~35 ops/px equivalent.
+
 # xla backend: banded XLA front end writes int32 NMS magnitude; bit-packed
 # hysteresis reads it once for thresholding and writes int16 output; the
 # packed flood state is 1/8 byte/pixel/round (uint32 per 32 pixels, r+w).
 XLA_STAGES = [
-    StageTraffic("frontend", 1 + 4),          # u8 in, i32 nm out
-    StageTraffic("hysteresis", 4 + 2 + 0.5),  # nm in, i16 out, ~2 packed rounds
+    StageTraffic("frontend", 1 + 4, 105),       # u8 in, i32 nm out
+    StageTraffic("hysteresis", 4 + 2 + 0.5, 35),  # nm in, i16 out, rounds
 ]
 
 # pallas backend: fused front-end kernel (u8 in, i16 nm out, one pass);
 # VMEM-resident packed hysteresis touches HBM only for pack + unpack.
 PALLAS_STAGES = [
-    StageTraffic("frontend", 1 + 2),          # u8 in, i16 nm out
-    StageTraffic("hysteresis", 2 + 2 + 0.25),  # nm in, i16 out, packed masks
+    StageTraffic("frontend", 1 + 2, 105),        # u8 in, i16 nm out
+    StageTraffic("hysteresis", 2 + 2 + 0.25, 35),  # nm in, i16 out, masks
 ]
 
-# fused backend: XLA front end (u8 in, i32 nm out) + Pallas VMEM-resident
-# packed hysteresis (nm in for thresholding/packing, i16 out, packed masks
-# r+w once around the in-VMEM fixed point).
+# fused backend: XLA front end with thresholds+packing fused into its tail
+# (u8 in, packed masks out — nm never touches HBM) + Pallas VMEM-resident
+# packed flood + unpack to i16.
 FUSED_STAGES = [
-    StageTraffic("frontend", 1 + 4),
-    StageTraffic("hysteresis", 4 + 2 + 0.25),
+    StageTraffic("frontend", 1 + 0.25, 110),
+    StageTraffic("hysteresis", 0.5 + 2, 30),
 ]
 
 STAGES_BY_BACKEND = {"xla": XLA_STAGES, "pallas": PALLAS_STAGES,
@@ -77,20 +112,31 @@ STAGES_BY_BACKEND = {"xla": XLA_STAGES, "pallas": PALLAS_STAGES,
 
 def stage_rooflines(pixels: int, measured_seconds: dict[str, float],
                     device_kind: str, backend: str = "xla") -> list[dict]:
-    """Machine-readable roofline rows: one dict per measured stage."""
+    """Machine-readable roofline rows: one dict per measured stage.
+
+    ``sol_ms`` is the *binding* floor (max of memory and compute);
+    ``bound`` names which constraint binds.
+    """
     bw = chip_bandwidth_gbps(device_kind)
+    vpu = chip_vpu_ops(device_kind)
     by_name = {s.name: s for s in STAGES_BY_BACKEND.get(backend, XLA_STAGES)}
     rows = []
     for name, sec in measured_seconds.items():
         s = by_name.get(name)
         if s is None or sec <= 0:
             continue
-        floor = s.min_seconds(pixels, bw)
+        mem = s.mem_seconds(pixels, bw)
+        comp = s.compute_seconds(pixels, vpu)
+        floor = max(mem, comp)
         rows.append({
             "stage": name,
             "ms": round(sec * 1e3, 4),
             "min_hbm_bytes_per_px": s.bytes_per_pixel,
+            "est_ops_per_px": s.ops_per_pixel,
+            "mem_sol_ms": round(mem * 1e3, 4),
+            "compute_sol_ms": round(comp * 1e3, 4),
             "sol_ms": round(floor * 1e3, 4),
+            "bound": "alu" if comp >= mem else "hbm",
             "pct_of_sol": round(100.0 * floor / sec, 1),
         })
     return rows
@@ -98,21 +144,27 @@ def stage_rooflines(pixels: int, measured_seconds: dict[str, float],
 
 def report(pixels: int, measured_seconds: dict[str, float],
            device_kind: str, stages=None, backend: str = "xla") -> str:
-    """Text roofline report: stage, min-traffic floor, % of speed-of-light."""
+    """Text roofline report: stage, binding floor, % of speed-of-light."""
     bw = chip_bandwidth_gbps(device_kind)
+    vpu = chip_vpu_ops(device_kind)
     if stages is not None:
         by_name = {s.name: s for s in stages}
     else:
         by_name = {s.name: s
                    for s in STAGES_BY_BACKEND.get(backend, XLA_STAGES)}
-    lines = [f"roofline vs {device_kind} @ {bw:.0f} GB/s HBM",
-             f"{'stage':<18}{'ms':>9}{'min ms':>9}{'% of SoL':>10}"]
+    lines = [f"roofline vs {device_kind} @ {bw:.0f} GB/s HBM, "
+             f"{vpu/1e12:.2f} Tops VPU",
+             f"{'stage':<18}{'ms':>9}{'min ms':>9}{'bound':>7}"
+             f"{'% of SoL':>10}"]
     for name, sec in measured_seconds.items():
         s = by_name.get(name)
         if s is None:
             continue
-        floor = s.min_seconds(pixels, bw)
+        mem = s.mem_seconds(pixels, bw)
+        comp = s.compute_seconds(pixels, vpu)
+        floor = max(mem, comp)
         pct = 100.0 * floor / sec if sec > 0 else 0.0
+        bound = "alu" if comp >= mem else "hbm"
         lines.append(f"{name:<18}{sec * 1e3:>9.3f}{floor * 1e3:>9.3f}"
-                     f"{pct:>9.1f}%")
+                     f"{bound:>7}{pct:>9.1f}%")
     return "\n".join(lines)

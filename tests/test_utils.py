@@ -15,8 +15,9 @@ def test_roofline_report():
     assert "819" in rep and "frontend" in rep
     assert roofline.chip_bandwidth_gbps("TPU v4") == 1200.0
     assert roofline.chip_bandwidth_gbps("unknown") == roofline.DEFAULT_BW
-    st = roofline.StageTraffic("x", 10.0)
-    assert np.isclose(st.min_seconds(1e6, 1000.0), 1e-5)
+    st = roofline.StageTraffic("x", 10.0, 100.0)
+    assert np.isclose(st.mem_seconds(1e6, 1000.0), 1e-5)
+    assert np.isclose(st.compute_seconds(1e6, 1e12), 1e-4)
 
 
 def test_roofline_stage_rows():
@@ -27,6 +28,8 @@ def test_roofline_stage_rows():
     for r in rows:
         assert 0 < r["pct_of_sol"] <= 100
         assert r["sol_ms"] < r["ms"] * 1.001
+        assert r["bound"] in ("alu", "hbm")
+        assert r["sol_ms"] == max(r["mem_sol_ms"], r["compute_sol_ms"])
 
 
 def test_profile_stages_runs():
