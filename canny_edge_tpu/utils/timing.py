@@ -111,7 +111,11 @@ def auto_chain_lengths(pixels: int) -> tuple[int, int]:
     v5e tunnel.  Sized from a ~6 GP/s planning throughput; clamped so huge
     inputs (batched 4K) stay under a few seconds per call.
     """
-    per_iter = max(pixels, 1) * 1.7e-13
+    # ~6 GP/s planning throughput => ~1.7e-10 s/pixel.  (A round-1 typo had
+    # 1.7e-13 here, which sent every input to the k2=4000 cap; for a
+    # 64x1080p batch that is a single ~90 s device program, which the
+    # worker watchdog kills — observed as "TPU worker process crashed".)
+    per_iter = max(pixels, 1) * 1.7e-10
     k2 = int(min(4000, max(40, 1.5 / per_iter)))
     return max(4, k2 // 20), k2
 
