@@ -281,3 +281,40 @@ def test_div_by_near_one_exhaustive():
         for t in k:
             s = np.float32(s + t)
         assert near_one_ulp_offset(s) is not None, sig
+
+
+@pytest.mark.parametrize("shape", [(256, 256), (251, 397), (1530, 260)])
+def test_frontend_packed_thresholds_match_nm(shape):
+    """frontend_nm_xla(thresholds=...) must equal pack_mask of the nm-path
+    threshold masks — covering both the whole-image (H<=1440) and the
+    banded (H>1440, interior+special band split) formulations."""
+    import jax
+
+    from canny_edge_tpu.golden.reference import gaussian_kernel
+    from canny_edge_tpu.ops.packed import pack_mask
+    from canny_edge_tpu.ops.window import frontend_nm_xla
+
+    img = synthetic_image(*shape, seed=11)
+    kv = tuple(float(v) for v in gaussian_kernel(1.4))
+    nm = jax.jit(lambda x: frontend_nm_xla(x, kv))(img)
+    weak_ref = np.asarray(pack_mask(nm >= 30))
+    strong_ref = np.asarray(pack_mask(nm >= 90))
+    weak, strong = jax.jit(lambda x: frontend_nm_xla(
+        x, kv, thresholds=(jax.numpy.int32(30), jax.numpy.int32(90))))(img)
+    np.testing.assert_array_equal(np.asarray(weak), weak_ref)
+    np.testing.assert_array_equal(np.asarray(strong), strong_ref)
+
+
+def test_auto_chain_lengths_bounded_device_time():
+    """Chain planning must keep the long chain under a few seconds of
+    estimated device time for every input size (the round-1 constant bug
+    produced ~90 s single programs for 64x1080p, which the TPU worker
+    watchdog kills)."""
+    from canny_edge_tpu.utils.timing import auto_chain_lengths
+
+    for pixels in (256 * 256, 2_073_600, 8_294_400, 64 * 2_073_600,
+                   64 * 8_294_400):
+        k1, k2 = auto_chain_lengths(pixels)
+        assert 4 <= k1 < k2 <= 4000
+        est = k2 * pixels * 1.7e-10
+        assert est < 5.0, (pixels, k2, est)
