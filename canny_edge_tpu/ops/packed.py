@@ -176,24 +176,23 @@ def hysteresis_packed_masks(weak_p, strong_p, height: int, width: int,
     slow kernel-compile path.
     """
 
-    def rest_of_round(e):
+    def one_round(e):
         e = jax.lax.fori_loop(
-            0, inner_dilate - 1, lambda i, x: dilate_packed(x, weak_p), e)
+            0, inner_dilate, lambda i, x: dilate_packed(x, weak_p), e)
         e = hflood(e, weak_p, width)
         e = vflood(e, weak_p, height)
         return e
 
     def body(state):
         e, _, rounds = state
-        # one dilation is the exact fixed-point test (dilate(e) == e means
-        # nothing can grow; floods only add pixels a dilation would also
-        # add), so the final verification round costs one dilation +
-        # compare instead of a full round
-        d1 = dilate_packed(e, weak_p)
-        changed = jnp.any(d1 != e)
-        new = jax.lax.cond(changed, rest_of_round, lambda x: x, d1)
+        new = one_round(e)
+        changed = jnp.any(new != e)
         return new, changed, rounds + 1
 
+    # NOTE: the Pallas VMEM kernel uses a cheaper convergence test (one
+    # dilation + lax.cond, kernels/hysteresis_packed.py); in XLA the cond
+    # overhead costs more than the saved round (0.343 vs 0.287 ms for the
+    # 1080p pipeline measured on v5e), so the plain full-round test stays.
     edges, _, rounds = jax.lax.while_loop(
         lambda s: s[1], body, (strong_p, jnp.asarray(True), jnp.int32(0)))
     return edges, rounds

@@ -1,18 +1,23 @@
 """Shared windowed front-end math: blur + sobel + nms on a padded tile.
 
-One implementation of the fused front end on an (th+2r, tw+2r) float32
-window with global-coordinate border masks, used by BOTH:
+Three formulations of the same bit-exact front end:
 
-* the Pallas kernel (kernels/frontend.py) — called inside the kernel body
-  with program_id-derived offsets; and
-* the XLA banded front end (:func:`frontend_nm_banded`) — called inside a
-  ``lax.map`` over full-width row bands, which matters because XLA:TPU's
-  per-pixel stencil cost grows sharply with image size (measured ~4x per
-  size doubling: 30.6 GP/s at 540x1920 vs 2.1 GP/s at 4320x1920), so large
-  images run fastest as a sequence of band-sized programs.
+* :func:`frontend_nm_static` — the production XLA path: select-free,
+  every border case resolved at trace time (static row ranges, host
+  count vectors, clamp/OOB pads).  Whole images up to ~1440 rows run as
+  one program; taller images as full-width row bands (XLA:TPU per-pixel
+  stencil cost grows sharply with program height — measured ~4x per size
+  doubling: 30.6 GP/s at 540x1920 vs 2.1 GP/s at 4320x1920), with
+  interior bands sharing one row0-independent program under ``lax.map``.
+* :func:`window_nm` — the general masked window (traced or static
+  offsets), used by the border strips and the Pallas restack kernel.
+* :func:`window_nm_interior` — maskless interior-only form used inside
+  the Pallas element-indexed kernel (borders overwritten by
+  :func:`frontend_nm_strips`).
 
 ``row0``/``col0`` are the global coordinates of the window's top-left texel
-(may be traced scalars); texels beyond the global image must be zero.
+(traced scalars or Python ints); texels beyond the global image must be
+zero.
 """
 
 from __future__ import annotations
