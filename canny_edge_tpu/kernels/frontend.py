@@ -66,7 +66,28 @@ def _frontend_kernel(img_ref, nm_ref, *, kernel_vals, th, tw, r, H, W):
     nm_ref[0, 0] = nm.astype(jnp.int16)
 
 
-def frontend_nm(img, kernel_vals, *, tile=(272, 1920), interpret=None,
+def _auto_tile_h(H: int, W: int, r: int) -> int:
+    """Largest 8-aligned tile height whose working set fits scoped VMEM.
+
+    Fewer grid invocations measured strictly faster for this kernel
+    (0.266 ms at th=272 vs 0.207 at th=1080 for 1080p on v5e — the
+    unrolled tap chain's VMEM temporaries defeat double-buffering gains
+    anyway), so use one invocation when the whole image fits, else the
+    fewest balanced tiles that keep the f32 window times the ~11 live
+    temporaries under the ~110 MB scoped-VMEM budget.
+    """
+    rc = _round_up(r, 64)
+    budget = 110 * 1024 * 1024  # 1080p whole-image (9 MB window) compiles
+    th_max = budget // (11 * 4 * (W + 2 * rc)) - 2 * _round_up(r, 8)
+    th_max = max(8, (th_max // 8) * 8)
+    H8 = _round_up(H, 8)
+    if th_max >= H8:
+        return H8          # one invocation, zero padded-row waste
+    nty = _cdiv(H8, th_max)
+    return _round_up(_cdiv(H8, nty), 8)  # balanced tile heights
+
+
+def frontend_nm(img, kernel_vals, *, tile=None, interpret=None,
                 indexing: str = "element"):
     """uint8 (H, W) -> int16 NMS magnitude (H, W), fused in one Pallas pass.
 
@@ -88,11 +109,13 @@ def frontend_nm(img, kernel_vals, *, tile=(272, 1920), interpret=None,
     window = len(kernel_vals)
     c = window // 2
     r = c + 2
+    if tile is None:
+        tile = (_auto_tile_h(H, W, r), W)
     th = min(tile[0], max(8, H))
     tw = min(tile[1], max(128, W))
     nty, ntx = _cdiv(H, th), _cdiv(W, tw)
 
-    vmem_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    vmem_params = pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024)
 
     if indexing == "element":
         # Mosaic requires Element windows with (8, 128)-divisible shapes, so

@@ -20,7 +20,7 @@ def _auto_interpret():
 
 
 def canny_fused(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
-                tile=(272, 1920), interpret=None, hysteresis_impl="packed"):
+                tile=None, interpret=None, hysteresis_impl="packed"):
     """uint8 (H, W) -> int16 {0,255} via Pallas kernels.
 
     ``hysteresis_steps`` is accepted for signature parity with the XLA path
