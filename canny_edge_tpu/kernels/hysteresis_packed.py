@@ -72,7 +72,7 @@ def _hyst_packed_kernel(weak_ref, strong_ref, out_ref, *, height, width,
 
 
 def hysteresis_packed_pallas_masks(weak_p, strong_p, height: int, width: int,
-                                   *, inner_dilate: int = 4, interpret=None):
+                                   *, inner_dilate: int = 6, interpret=None):
     """Packed (H, Wd) uint32 masks -> packed edge mask, one VMEM kernel."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -93,7 +93,7 @@ def hysteresis_packed_pallas_masks(weak_p, strong_p, height: int, width: int,
     )(weak_p, strong_p)
 
 
-def hysteresis_packed_pallas(nm, min_val, max_val, *, inner_dilate: int = 4,
+def hysteresis_packed_pallas(nm, min_val, max_val, *, inner_dilate: int = 6,
                              interpret=None):
     """int NMS magnitude (H, W) -> int16 {0,255} via the VMEM flood kernel.
 

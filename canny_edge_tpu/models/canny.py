@@ -30,9 +30,10 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
     ``kernel_vals``: static tuple of float32 Gaussian weights (host-computed
     by golden.gaussian_kernel so TPU and oracle share identical weights).
     ``backend``:
-      * "fused" — production path: best measured engine per stage (XLA
-        whole-image/banded stencil front end + Pallas VMEM bit-packed
-        hysteresis flood; v5e profile 0.305 ms at 1080p).
+      * "fused" — production path: best measured engine per stage
+        (select-free static XLA front end with fused threshold+packing +
+        Pallas VMEM bit-packed hysteresis flood; v5e profile ~0.22 ms at
+        1080p, ~0.85 ms at 4K).
       * "xla" — pure jnp/XLA ops end to end (no Pallas kernels).
       * "pallas" — all-Pallas compute path (fused front-end kernel + VMEM
         hysteresis), the reference point for kernel-vs-XLA comparisons.
@@ -67,14 +68,15 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
         weak_p, strong_p = frontend_nm_xla(img, kernel_vals,
                                            thresholds=(min_val, max_val))
         edges = hysteresis_packed_pallas_masks(weak_p, strong_p, h, w,
-                                               inner_dilate=4)
+                                               inner_dilate=6)
         return jnp.where(unpack_mask(edges, w), jnp.int16(255), jnp.int16(0))
     nm = frontend_nm_xla(img, kernel_vals)
     from ..ops.packed import hysteresis_packed
 
     # bit-packed flood: same fixed point as stages.hysteresis, ~3-6x faster
-    # (ops/packed.py); inner_dilate=4 balances diagonal-chain progress per
-    # round against round cost
+    # (ops/packed.py); inner_dilate=4 here — the XLA flood's full-round
+    # convergence test makes extra dilations per round cost more than they
+    # save (the VMEM kernel above uses 6 with its cheap early-exit test)
     return hysteresis_packed(nm, min_val, max_val, inner_dilate=4)
 
 
