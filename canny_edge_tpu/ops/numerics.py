@@ -319,8 +319,9 @@ def nms_bin_masks_f32(gx, gy):
     zero = np.float32(0)
     ax = jnp.abs(gx)
     ay = jnp.abs(gy)
-    low = (ax > ay) & (np.float32(2) * ay * ay < (ax - ay) * (ax - ay))
-    high = (ay > ax) & ((ay - ax) * (ay - ax) > np.float32(2) * ax * ax)
+    diff2 = (ax - ay) * (ax - ay)   # == (ay-ax)^2, shared by both edges
+    low = (ax > ay) & (np.float32(2) * ay * ay < diff2)
+    high = (ay > ax) & (diff2 > np.float32(2) * ax * ax)
     mid = ~low & ~high
     sign_prod = gx * gy
     same = sign_prod > zero

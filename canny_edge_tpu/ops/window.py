@@ -496,17 +496,22 @@ def frontend_nm_static(x, row0: int, nrows: int, H: int, W: int,
     def nb(dr, dc):
         return magx[1 + dr:1 + dr + nn, 1 + dc:1 + dc + W]
 
-    m0 = nb(0, 0)
-    keep0 = (m0 > nb(0, -1)) & (m0 > nb(0, 1))
-    keep45 = (m0 > nb(-1, 1)) & (m0 > nb(1, -1))
-    keep90 = (m0 > nb(-1, 0)) & (m0 > nb(1, 0))
-    keep135 = (m0 > nb(-1, -1)) & (m0 > nb(1, 1))
-
     def core(b):
         return rows(n_lo, n_hi, b, g_lo)
 
-    keep = ((core(b0a) & keep0) | (core(b45a) & keep45)
-            | (core(b90a) & keep90) | (core(b135a) & keep135))
+    # Select the direction's two neighbours first (6 selects on the
+    # mutually exclusive bin masks, bin 0 as the default), then one
+    # compare pair — 9 ops vs 19 for the compare-all-8-then-combine form.
+    # XLA-only: this path never runs under Mosaic, so bool-conditioned
+    # selects are fine (b0a is dead here and DCE'd).
+    del b0a
+    b45c, b90c, b135c = core(b45a), core(b90a), core(b135a)
+    m0 = nb(0, 0)
+    n1 = jnp.where(b45c, nb(-1, 1), jnp.where(b90c, nb(-1, 0),
+                   jnp.where(b135c, nb(-1, -1), nb(0, -1))))
+    n2 = jnp.where(b45c, nb(1, -1), jnp.where(b90c, nb(1, 0),
+                   jnp.where(b135c, nb(1, 1), nb(0, 1))))
+    keep = (m0 > n1) & (m0 > n2)
     nmf = jnp.where(keep, m0, np.float32(0))
     if thresholds is not None:
         from .packed import pack_mask
