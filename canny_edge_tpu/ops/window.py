@@ -172,36 +172,8 @@ def _split_div_static(acc, cnt_np, s, axis):
     return out
 
 
-def _split_div(acc, cnt, s, widths, axis):
-    """Renormalization division, split into exact-edge / near-one-interior.
-
-    The divisor ``cnt`` equals the full kernel sum ``s`` everywhere except
-    within the edge ``widths`` (host-static counts along ``axis``), and
-    ``s`` is within 1 ulp of 1.0 for every practical sigma — so the
-    interior division collapses to :func:`numerics.div_by_near_one`
-    (3 integer ops/pixel) while the general fixer-based division runs only
-    on the thin static edge slices.  ``widths=None`` (or an exotic kernel
-    sum) falls back to the general path everywhere.
-    """
-    if widths is None or near_one_ulp_offset(s) is None:
-        return exact_div_by_vector(acc, cnt)
-    wl, wr = widths
-    n = acc.shape[axis]
-    if wl + wr >= n:
-        return exact_div_by_vector(acc, cnt)
-    if axis == 1:
-        parts = (exact_div_by_vector(acc[:, :wl], cnt[:, :wl]),
-                 div_by_near_one(acc[:, wl:n - wr], s),
-                 exact_div_by_vector(acc[:, n - wr:], cnt[:, n - wr:]))
-    else:
-        parts = (exact_div_by_vector(acc[:wl], cnt[:wl]),
-                 div_by_near_one(acc[wl:n - wr], s),
-                 exact_div_by_vector(acc[n - wr:], cnt[n - wr:]))
-    return jnp.concatenate(parts, axis=axis)
-
-
 def window_nm(x, row0, col0, H: int, W: int, kernel_vals, th: int, tw: int,
-              r: int, fastdiv_cols=None, fastdiv_rows=None):
+              r: int):
     """float32 (th+2r, tw+2r) zero-padded window -> int32 nm core (th, tw).
 
     ``row0``/``col0`` may be traced scalars (Pallas restack kernel: offsets
@@ -212,10 +184,9 @@ def window_nm(x, row0, col0, H: int, W: int, kernel_vals, th: int, tw: int,
     edge fixups (:func:`_split_div_static`): measured 0.23 -> 0.17 ms for
     the whole-image 1080p front end on v5e.
 
-    ``fastdiv_cols``/``fastdiv_rows``: optional (left, right) / (top,
-    bottom) static edge widths outside of which a *traced-offset* caller
-    guarantees the renormalization count equals the full kernel sum (see
-    :func:`_split_div`); ignored for static offsets.
+    Traced offsets use the general fixer-based division on the full window
+    (its windows are small Pallas tiles, where the split machinery's
+    stitch overhead outweighs the fixer savings).
     """
     kernel = np.asarray(kernel_vals, np.float32)
     window = kernel.shape[0]
@@ -242,7 +213,7 @@ def window_nm(x, row0, col0, H: int, W: int, kernel_vals, th: int, tw: int,
             off = t - c
             m = ((gcol + off) >= 0) & ((gcol + off) < W)
             cnt = cnt + jnp.where(m, np.float32(kernel[t]), np.float32(0))
-        temp = _split_div(acc, cnt, s, fastdiv_cols, axis=1)
+        temp = exact_div_by_vector(acc, cnt)
 
     # ---- blur y pass: rows [c, hp-c) -> smoothed with margin 2 ----
     ho = hp - 2 * c
@@ -259,7 +230,7 @@ def window_nm(x, row0, col0, H: int, W: int, kernel_vals, th: int, tw: int,
             off = t - c
             m = ((grow + off) >= 0) & ((grow + off) < H)
             cnt = cnt + jnp.where(m, np.float32(kernel[t]), np.float32(0))
-        div = _split_div(acc, cnt, s, fastdiv_rows, axis=0)
+        div = exact_div_by_vector(acc, cnt)
     # Back half runs in float32: the blurred values, gradients, magnitudes,
     # and every predicate operand are integers below 2^24, exactly
     # representable in f32, and f32 multiplies are far cheaper than int32
