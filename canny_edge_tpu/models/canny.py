@@ -89,7 +89,11 @@ def canny_fn_batched(imgs, min_val, max_val, *, kernel_vals,
     sequence of single-frame programs (each internally whole-image or
     band-mapped, see ops.window) beats any jointly-batched formulation —
     measured 3197 MP/s vs 1208-1350 MP/s for 3-D/tall-stacked variants on
-    8x1080p."""
+    8x1080p.  (A split-stage variant — all front ends under ``lax.map``
+    emitting stacked packed masks, then one vmapped flood launch — was
+    measured *slower*, 17.4 vs 16.0 ms at 64x1080p: materializing the
+    stacked masks costs more than the per-frame kernel launches.)
+    """
     return jax.lax.map(
         lambda f: canny_fn(f, min_val, max_val, kernel_vals=kernel_vals,
                            hysteresis_steps=hysteresis_steps,
