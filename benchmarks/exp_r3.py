@@ -1,0 +1,114 @@
+"""Round-3 perf attribution experiments (checksum-slope protocol).
+
+Answers, on the real chip at 1080p sigma=1.4:
+  1. What do the exact border strips cost the all-Pallas front end?
+     (fe_pallas vs fe_pallas_nostrips vs the XLA static front end)
+  2. Is the fused path's flood kernel inner_dilate=6 still optimal on a
+     realistic NMS mask?  (sweep 2/4/6/8/10)
+  3. Per-piece times of the production fused path: frontend+pack, flood,
+     unpack (attribution for the roofline).
+
+Usage: python benchmarks/exp_r3.py [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from profile_components import make_image, slope_ms  # noqa: E402
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.golden.reference import gaussian_kernel
+    from canny_edge_tpu.kernels.frontend import frontend_nm
+    from canny_edge_tpu.kernels.hysteresis_packed import (
+        hysteresis_packed_pallas_masks)
+    from canny_edge_tpu.ops.packed import pack_mask, unpack_mask
+    from canny_edge_tpu.ops.window import frontend_nm_strips, frontend_nm_xla
+
+    H, W = 1080, 1920
+    sigma = 1.4
+    kernel_vals = tuple(float(v) for v in gaussian_kernel(sigma))
+    window = len(kernel_vals)
+    r = window // 2 + 2
+    mp = H * W / 1e6
+    sel = sys.argv[1:]
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind} ({dev.platform})  {H}x{W} sigma={sigma}")
+    t0 = time.time()
+    np.asarray(jax.jit(lambda v: v * 2 + 1)(np.ones((8, 128), np.float32)))
+    log(f"env compile init: {time.time() - t0:.0f}s")
+
+    img = make_image(H, W)
+    img_dev = jax.device_put(img)
+
+    def fe_fused(x):
+        w, s = frontend_nm_xla(x, kernel_vals,
+                               thresholds=(jnp.int32(50), jnp.int32(150)))
+        return w + s
+
+    def fe_pallas(x):
+        return frontend_nm(x, kernel_vals, interpret=False)
+
+    def fe_pallas_nostrips(x):
+        return frontend_nm(x, kernel_vals, interpret=False, border="none")
+
+    def strips_only(x):
+        nm = x.astype(jnp.int16) * jnp.int16(3)
+        pad_f32 = jnp.pad(x, r).astype(jnp.float32)
+        return frontend_nm_strips(nm, pad_f32, (H, W), kernel_vals, r)
+
+    def full_fused(x):
+        w, s = frontend_nm_xla(x, kernel_vals,
+                               thresholds=(jnp.int32(50), jnp.int32(150)))
+        e = hysteresis_packed_pallas_masks(w, s, H, W, inner_dilate=6)
+        return jnp.where(unpack_mask(e, W), jnp.int16(255), jnp.int16(0))
+
+    def make_flood(inner):
+        def flood(x):
+            # realistic sparsity: derive weak/strong from the actual nm-like
+            # content (x is the perturbed image, so every chain step floods
+            # a different mask — no elision)
+            nm = x.astype(jnp.int32) * 2
+            w = pack_mask(nm >= 160)
+            s = pack_mask(nm >= 400)
+            e = hysteresis_packed_pallas_masks(w, s, H, W,
+                                               inner_dilate=inner)
+            return e
+        return flood
+
+    comps = {
+        "fe_fused": fe_fused,
+        "fe_pallas": fe_pallas,
+        "fe_pallas_nostrips": fe_pallas_nostrips,
+        "strips_only": strips_only,
+        "full_fused": full_fused,
+    }
+    for inner in (2, 4, 6, 8, 10):
+        comps[f"flood_id{inner}"] = make_flood(inner)
+
+    for name, fn in comps.items():
+        if sel and name not in sel:
+            continue
+        try:
+            ms, cs = slope_ms(fn, img_dev)
+            log(f"{name:<20} {ms:8.3f} ms  {mp / ms * 1e3:8.0f} MP/s   "
+                f"compile {cs:5.1f}s")
+        except Exception as e:
+            log(f"{name:<20} FAILED: {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "benchmarks")
+    main()

@@ -88,7 +88,7 @@ def _auto_tile_h(H: int, W: int, r: int) -> int:
 
 
 def frontend_nm(img, kernel_vals, *, tile=None, interpret=None,
-                indexing: str = "element"):
+                indexing: str = "element", border: str = "strips"):
     """uint8 (H, W) -> int16 NMS magnitude (H, W), fused in one Pallas pass.
 
     Bit-exact vs ops.stages blur+sobel+nms composition.
@@ -102,6 +102,11 @@ def frontend_nm(img, kernel_vals, *, tile=None, interpret=None,
         (nty, ntx, TH+2R, TW+2R) non-overlapping halo tiles and the tiled
         output is re-assembled with a transpose.  Kept as a fallback while
         Element-indexed BlockSpecs are newer API surface.
+
+    ``border``: "strips" (default — exact masked border overwrite, the
+    production setting) or "none" (interior math only; the r-wide border
+    frame is NOT bit-exact).  "none" exists for perf attribution in
+    benchmarks/profile_components.py — never use it for real outputs.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -155,6 +160,8 @@ def frontend_nm(img, kernel_vals, *, tile=None, interpret=None,
             compiler_params=vmem_params,
         )(padded)
         nm = out[:H, :W]
+        if border == "none":
+            return nm
         pad_f32 = jnp.pad(img, r).astype(jnp.float32)
         return frontend_nm_strips(nm, pad_f32, (H, W), kernel_vals, r)
 
