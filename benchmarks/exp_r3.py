@@ -66,8 +66,7 @@ def main():
 
     def strips_only(x):
         nm = x.astype(jnp.int16) * jnp.int16(3)
-        pad_f32 = jnp.pad(x, r).astype(jnp.float32)
-        return frontend_nm_strips(nm, pad_f32, (H, W), kernel_vals, r)
+        return frontend_nm_strips(nm, x, kernel_vals, r)
 
     def full_fused(x):
         w, s = frontend_nm_xla(x, kernel_vals,

@@ -162,8 +162,7 @@ def frontend_nm(img, kernel_vals, *, tile=None, interpret=None,
         nm = out[:H, :W]
         if border == "none":
             return nm
-        pad_f32 = jnp.pad(img, r).astype(jnp.float32)
-        return frontend_nm_strips(nm, pad_f32, (H, W), kernel_vals, r)
+        return frontend_nm_strips(nm, img, kernel_vals, r)
 
     tiles = make_halo_tiles(img, th, tw, r)
     kern = functools.partial(_frontend_kernel, kernel_vals=kernel_vals,
