@@ -136,6 +136,15 @@ def main():
 
             def fe(x, mn, mx):
                 return frontend_nm(x, kernel_vals, interpret=False)
+        elif backend == "fused":
+            # the production front end fuses threshold+bit-packing into its
+            # tail — time THAT program (the nm-emitting variant writes 16x
+            # more HBM and would overstate fe / understate hysteresis)
+            from canny_edge_tpu.ops.window import frontend_nm_xla
+
+            def fe(x, mn, mx):
+                w, s = frontend_nm_xla(x, kernel_vals, thresholds=(mn, mx))
+                return w + s
         else:
             from canny_edge_tpu.ops.window import frontend_nm_xla
 

@@ -103,11 +103,10 @@ def main():
         try:
             ms, cs = slope_ms(fn, img_dev)
             log(f"{name:<20} {ms:8.3f} ms  {mp / ms * 1e3:8.0f} MP/s   "
-                f"compile {cs:5.1f}s")
+                f"wall {cs:5.1f}s")
         except Exception as e:
             log(f"{name:<20} FAILED: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, "benchmarks")
     main()

@@ -9,7 +9,6 @@ Usage: python benchmarks/profile_components.py [component ...]
 
 from __future__ import annotations
 
-import functools
 import sys
 import time
 
@@ -29,43 +28,20 @@ def make_image(h, w, seed=0):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def slope_ms(fn, img_dev, k1=4, k2=16):
-    """Per-call ms of fn(uint8 image)->int array, checksum-slope protocol."""
-    import jax
-    import jax.numpy as jnp
+def slope_ms(fn, img_dev, k1=None, k2=None):
+    """Per-call (ms, wall_s incl. compile) of fn(uint8 image) -> int array.
 
-    def chain(k):
-        @jax.jit
-        def run(x0, seed):
-            def body(i, carry):
-                chk, x = carry
-                x2 = jnp.roll(x, chk % 13 + i, axis=0) ^ (
-                    (chk + i) % 5).astype(jnp.uint8)
-                out = fn(x2)
-                chk2 = (chk * jnp.int32(16777619)
-                        + jnp.sum(out[::97, ::89].astype(jnp.int32))
-                        ) & jnp.int32(0x7FFFFFFF)
-                return chk2, x
-            chk, _ = jax.lax.fori_loop(0, k, body, (seed, x0))
-            return chk
-        return run
+    Thin wrapper over the canonical protocol implementation
+    (canny_edge_tpu.utils.timing.checksum_slope_seconds) so protocol fixes
+    propagate; chain lengths auto-size to ~1.5 s device programs unless
+    given.
+    """
+    from canny_edge_tpu.utils.timing import checksum_slope_seconds
 
-    r1, r2 = chain(k1), chain(k2)
     t0 = time.perf_counter()
-    int(np.asarray(r1(img_dev, jnp.int32(1))))
-    int(np.asarray(r2(img_dev, jnp.int32(1))))
-    compile_s = time.perf_counter() - t0
-    slopes = []
-    for s in range(2, 5):
-        t0 = time.perf_counter()
-        c1 = int(np.asarray(r1(img_dev, jnp.int32(s))))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        c2 = int(np.asarray(r2(img_dev, jnp.int32(s))))
-        t2 = time.perf_counter() - t0
-        assert c1 != c2, "chain results identical: elision suspected"
-        slopes.append((t2 - t1) / (k2 - k1))
-    return float(np.median(slopes)) * 1e3, compile_s
+    sec = checksum_slope_seconds(lambda x, mn, mx: fn(x), img_dev,
+                                 k1=k1, k2=k2, samples=3)
+    return sec * 1e3, time.perf_counter() - t0
 
 
 def main():
@@ -176,7 +152,7 @@ def main():
         try:
             ms, cs = slope_ms(fn, img_dev)
             log(f"{name:<18} {ms:8.3f} ms  {mp / ms * 1e3:8.0f} MP/s   "
-                f"compile {cs:5.1f}s")
+                f"wall {cs:5.1f}s")
         except Exception as e:
             log(f"{name:<18} FAILED: {type(e).__name__}: {e}")
 

@@ -110,6 +110,15 @@ def main():
 
                 fe = lambda x, mn, mx: frontend_nm(x, kv(1.4),  # noqa: E731
                                                    interpret=False)
+            elif b == "fused":
+                # time the actual production front end (thresholds fused
+                # into its tail, packed-mask output) — the nm-emitting
+                # variant writes 16x more HBM and would overstate fe
+                from canny_edge_tpu.ops.window import frontend_nm_xla
+
+                def fe(x, mn, mx):
+                    w, s = frontend_nm_xla(x, kv(1.4), thresholds=(mn, mx))
+                    return w + s
             else:
                 from canny_edge_tpu.ops.window import frontend_nm_xla
 

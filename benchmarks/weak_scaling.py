@@ -18,7 +18,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -40,8 +39,6 @@ def main():
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-
-    import jax.numpy as jnp
 
     from canny_edge_tpu.io import synthetic_image
     from canny_edge_tpu.parallel import ShardedCanny, make_mesh
@@ -68,40 +65,11 @@ def main():
 
         # checksum-slope protocol (DESIGN.md §4): plain block_until_ready
         # wall timing is untrustworthy in this environment (execution
-        # elision, async tunnel) — chain K data-dependent runs on device and
-        # take the slope between two chain lengths.
-        def chain(k):
-            @jax.jit
-            def run(x0, seed):
-                def body(i, carry):
-                    chk, x = carry
-                    x2 = jnp.roll(x, chk % 7 + i, axis=1) ^ (
-                        (chk + i) % 5).astype(jnp.uint8)
-                    out = model._fn(x2, jnp.int32(30) + (chk % 3),
-                                    jnp.int32(90))
-                    chk2 = (chk * jnp.int32(16777619)
-                            + jnp.sum(out[:, ::31, ::37].astype(jnp.int32))
-                            ) & jnp.int32(0x7FFFFFFF)
-                    return chk2, x
-                chk, _ = jax.lax.fori_loop(0, k, body, (seed, x0))
-                return chk
-            return run
+        # elision, async tunnel).  dev_imgs is already mesh-sharded;
+        # checksum_slope_seconds uses placed jax.Arrays as-is.
+        from canny_edge_tpu.utils.timing import checksum_slope_seconds
 
-        k1, k2 = 2, 8
-        r1, r2 = chain(k1), chain(k2)
-        int(np.asarray(r1(dev_imgs, jnp.int32(1))))      # compile
-        int(np.asarray(r2(dev_imgs, jnp.int32(1))))
-        slopes = []
-        for s in (2, 3, 4):
-            t0 = time.perf_counter()
-            c1 = int(np.asarray(r1(dev_imgs, jnp.int32(s))))
-            t1 = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            c2 = int(np.asarray(r2(dev_imgs, jnp.int32(s))))
-            t2 = time.perf_counter() - t0
-            assert c1 != c2, "identical checksums: execution elision suspected"
-            slopes.append((t2 - t1) / (k2 - k1))
-        dt = float(np.median(slopes))
+        dt = checksum_slope_seconds(model._fn, dev_imgs, k1=2, k2=8)
         tput = imgs.size / dt / 1e6          # MP/s total
         per_dev = tput / n
         if base_tput is None:

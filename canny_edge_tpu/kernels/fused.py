@@ -49,5 +49,6 @@ def canny_fused(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
         return hysteresis_packed(nm, min_val, max_val)
     if hysteresis_impl == "banded":
         return hysteresis_banded(nm, min_val, max_val, interpret=interpret)
-    return hysteresis_pallas(nm, min_val, max_val, tile=tile,
+    return hysteresis_pallas(nm, min_val, max_val,
+                             **({} if tile is None else {"tile": tile}),
                              interpret=interpret)

@@ -29,6 +29,12 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
 
     ``kernel_vals``: static tuple of float32 Gaussian weights (host-computed
     by golden.gaussian_kernel so TPU and oracle share identical weights).
+    ``hysteresis_steps``: dilations per convergence check for the *unpacked*
+    dilation engine (the strict-reference path and ops.stages.hysteresis).
+    The packed flood engines used by every production backend converge
+    on-chip with tuned inner_dilate values (4 XLA / 6 VMEM kernel — see the
+    notes below) and deliberately ignore this knob; it never affects
+    results, only engine round granularity.
     ``backend``:
       * "fused" — production path: best measured engine per stage
         (select-free static XLA front end with fused threshold+packing +

@@ -517,16 +517,29 @@ def frontend_nm_strips(nm, img, kernel_vals, r: int):
     def f32(x, pads):
         return jnp.pad(x, pads).astype(jnp.float32)
 
+    # Each strip window spans global rows [row0, row0 + th + 2r) x cols
+    # [col0, col0 + tw + 2r); rows/cols beyond the image are zero-padding
+    # on both sides (small images: a strip's span can overhang both edges).
+    def rpad(lo, hi):  # rows [lo, hi) -> (slice, (pad_before, pad_after))
+        return img[max(lo, 0):min(hi, H)], (max(-lo, 0), max(hi - H, 0))
+
+    def cpad(lo, hi):
+        return img[:, max(lo, 0):min(hi, W)], (max(-lo, 0), max(hi - W, 0))
+
     # top / bottom strips: (sh, W); windows span rows [-r, sh+r) / [H-sh-r,
     # H+r) x cols [-r, W+r)
-    top = window_nm(f32(img[:sh + r], ((r, 0), (r, r))), -r, -r,
+    ts, tp = rpad(-r, sh + r)
+    top = window_nm(f32(ts, (tp, (r, r))), -r, -r,
                     H, W, kernel_vals, sh, W, r)
-    bot = window_nm(f32(img[H - sh - r:], ((0, r), (r, r))), H - sh - r, -r,
+    bs, bp = rpad(H - sh - r, H + r)
+    bot = window_nm(f32(bs, (bp, (r, r))), H - sh - r, -r,
                     H, W, kernel_vals, sh, W, r)
     # left / right strips: (H, sv)
-    left = window_nm(f32(img[:, :sv + r], ((r, r), (r, 0))), -r, -r,
+    ls, lp = cpad(-r, sv + r)
+    left = window_nm(f32(ls, ((r, r), lp)), -r, -r,
                      H, W, kernel_vals, H, sv, r)
-    right = window_nm(f32(img[:, W - sv - r:], ((r, r), (0, r))), -r,
+    rs, rp = cpad(W - sv - r, W + r)
+    right = window_nm(f32(rs, ((r, r), rp)), -r,
                       W - sv - r, H, W, kernel_vals, H, sv, r)
     dt = nm.dtype
     nm = jax.lax.dynamic_update_slice(nm, left.astype(dt), (0, 0))

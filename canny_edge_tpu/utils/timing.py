@@ -137,6 +137,10 @@ def checksum_slope_seconds(pipe_fn, img: np.ndarray, *, k1: int | None = None,
     The chain length is a *traced* argument, so both lengths (and every
     sample) share one compiled program; defaults come from
     :func:`auto_chain_lengths`.
+
+    ``img`` may be a host ndarray (device_put onto the default device) or an
+    already-placed ``jax.Array`` — e.g. a mesh-sharded batch — which is used
+    as-is, preserving its sharding (benchmarks/weak_scaling.py).
     """
     import jax
     import jax.numpy as jnp
@@ -161,7 +165,7 @@ def checksum_slope_seconds(pipe_fn, img: np.ndarray, *, k1: int | None = None,
         chk, _ = jax.lax.fori_loop(0, k, body, (seed, x0))
         return chk
 
-    dev = jax.device_put(img)
+    dev = img if isinstance(img, jax.Array) else jax.device_put(img)
     int(np.asarray(run(dev, jnp.int32(1), jnp.int32(k1))))
     int(np.asarray(run(dev, jnp.int32(1), jnp.int32(k2))))
     slopes = []

@@ -137,3 +137,38 @@ def test_full_pallas_pipeline(test_image):
     out = np.asarray(model(test_image, 50, 150))
     ref = golden.canny(test_image, 1.0, 50, 150)
     np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("impl", ["packed", "packed-xla", "banded", "dilate"])
+def test_canny_fused_every_hysteresis_impl(impl, test_image):
+    """Every documented hysteresis_impl runs with default (auto) tile.
+
+    Regression: 'dilate' crashed when the tile default became None
+    (hysteresis_pallas subscripted tile[0])."""
+    import jax
+
+    from canny_edge_tpu.kernels.fused import canny_fused
+
+    out = np.asarray(jax.jit(
+        lambda x: canny_fused(x, 50, 150, kernel_vals=kv(1.0),
+                              hysteresis_impl=impl))(test_image))
+    ref = golden.canny(test_image, 1.0, 50, 150)
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("shape,sigma", [((10, 64), 1.4), ((8, 9), 2.0),
+                                         ((5, 300), 1.4), ((300, 6), 1.0)])
+def test_frontend_degenerate_shapes(shape, sigma):
+    """Images smaller than the dependency-cone diameter (H or W < 2r).
+
+    Regression: the strip windows overhang both image edges; the local
+    per-strip padding must supply zeros on both sides."""
+    import jax
+
+    from canny_edge_tpu.kernels import frontend_nm
+
+    img = synthetic_image(*shape, seed=11)
+    nm = np.asarray(jax.jit(lambda x: frontend_nm(x, kv(sigma)))(img))
+    sm = golden.gaussian_blur(img, sigma)
+    ref = golden.nonmax_suppression(*golden.sobel(sm))
+    np.testing.assert_array_equal(nm.astype(np.int16), ref)
