@@ -87,8 +87,43 @@ def main():
             return e
         return flood
 
+    # ---- perf-attribution counterfactuals (NOT bit-exact at borders) ----
+    import jax.numpy as jnp2
+    from canny_edge_tpu.ops.numerics import (div_by_near_one, isqrt_f32,
+                                             mul_const_f32)
+    from canny_edge_tpu.ops.window import _kernel_sum
+
+    kernel = np.asarray(kernel_vals, np.float32)
+    c = window // 2
+    s = _kernel_sum(kernel)
+
+    def _blur(x):
+        xp = jnp2.pad(x, c).astype(jnp2.float32)
+        acc = jnp2.zeros((H + 2 * c, W), jnp2.float32)
+        for t in range(window):
+            acc = acc + mul_const_f32(xp[:, t:t + W], kernel[t])
+        temp = div_by_near_one(acc, s)
+        acc = jnp2.zeros((H, W), jnp2.float32)
+        for t in range(window):
+            acc = acc + mul_const_f32(temp[t:t + H, :], kernel[t])
+        return jnp2.floor(div_by_near_one(acc, s))
+
+    def fe_blur_only(x):
+        return _blur(x).astype(jnp2.int32)
+
+    def fe_blur_sobel(x):
+        sm = jnp2.pad(_blur(x), 1, mode="edge")
+        two = np.float32(2)
+        d = sm[:, 2:] - sm[:, :-2]
+        gx = two * d[1:-1, :] + d[2:, :] + d[:-2, :]
+        e = sm[2:, :] - sm[:-2, :]
+        gy = two * e[:, 1:-1] + e[:, 2:] + e[:, :-2]
+        return isqrt_f32(gx * gx + gy * gy).astype(jnp2.int32)
+
     comps = {
         "fe_fused": fe_fused,
+        "fe_blur_only": fe_blur_only,
+        "fe_blur_sobel": fe_blur_sobel,
         "fe_pallas": fe_pallas,
         "fe_pallas_nostrips": fe_pallas_nostrips,
         "strips_only": strips_only,
