@@ -43,3 +43,23 @@ def test_fuzz_bitexact(i, h, w, sigma, mn, mx, backend):
     out = np.asarray(jax.jit(
         lambda x: canny_fn(x, mn, mx, kernel_vals=kv, backend=backend))(img))
     np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("shape", [(1, 50), (50, 1), (1, 1), (2, 2),
+                                   (3, 200), (200, 3)])
+@pytest.mark.parametrize("backend", ["fused", "xla", "pallas"])
+def test_degenerate_shapes_bitexact(shape, backend):
+    """1-pixel-thin and 1x1 images: every border rule degenerates at once
+    (blur renormalization over a single tap span, Sobel with all row terms
+    dropped, NMS where every neighbour is out of bounds)."""
+    import jax
+
+    from canny_edge_tpu.models.canny import canny_fn
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, shape, np.uint8)
+    ref = golden.canny(img, 1.0, 50, 150)
+    kv = tuple(float(v) for v in gaussian_kernel(1.0))
+    out = np.asarray(jax.jit(
+        lambda x: canny_fn(x, 50, 150, kernel_vals=kv, backend=backend))(img))
+    np.testing.assert_array_equal(out, ref)
