@@ -120,6 +120,29 @@ def main():
         gy = two * e[:, 1:-1] + e[:, 2:] + e[:, :-2]
         return isqrt_f32(gx * gx + gy * gy).astype(jnp2.int32)
 
+    # ---- batch-overhead attribution (B=8; times reported per frame via
+    # the mp scaling being per single frame — divide by 8 mentally or
+    # compare MP/s directly) ----
+    def full_fused_single(f):
+        w, s = frontend_nm_xla(f, kernel_vals,
+                               thresholds=(jnp.int32(50), jnp.int32(150)))
+        e = hysteresis_packed_pallas_masks(w, s, H, W, inner_dilate=6)
+        return jnp.where(unpack_mask(e, W), jnp.int16(255), jnp.int16(0))
+
+    def batch8_map_full(x):
+        frames = jnp.stack([jnp.roll(x, i, axis=0) for i in range(8)])
+        return jax.lax.map(full_fused_single, frames).astype(jnp.int32)[0]
+
+    def batch8_map_fe(x):
+        frames = jnp.stack([jnp.roll(x, i, axis=0) for i in range(8)])
+
+        def fe1(f):
+            w, s = frontend_nm_xla(f, kernel_vals,
+                                   thresholds=(jnp.int32(50),
+                                               jnp.int32(150)))
+            return w + s
+        return jax.lax.map(fe1, frames)[0]
+
     comps = {
         "fe_fused": fe_fused,
         "fe_blur_only": fe_blur_only,
@@ -128,6 +151,8 @@ def main():
         "fe_pallas_nostrips": fe_pallas_nostrips,
         "strips_only": strips_only,
         "full_fused": full_fused,
+        "batch8_map_full": batch8_map_full,
+        "batch8_map_fe": batch8_map_fe,
     }
     for inner in (2, 4, 6, 8, 10):
         comps[f"flood_id{inner}"] = make_flood(inner)
@@ -136,6 +161,14 @@ def main():
         if sel and name not in sel:
             continue
         try:
+            if name.startswith("batch8"):
+                # 8x work per chain step: shorten chains to keep device
+                # programs near the ~1.5 s watchdog-safe target
+                ms, cs = slope_ms(fn, img_dev, k1=12, k2=240)
+                ms8 = ms / 8.0
+                log(f"{name:<20} {ms8:8.3f} ms/frame "
+                    f"({mp / ms8 * 1e3:8.0f} MP/s)   wall {cs:5.1f}s")
+                continue
             ms, cs = slope_ms(fn, img_dev)
             log(f"{name:<20} {ms:8.3f} ms  {mp / ms * 1e3:8.0f} MP/s   "
                 f"wall {cs:5.1f}s")
