@@ -13,8 +13,16 @@ Usage: python benchmarks/exp_r3.py [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# run from anywhere: make both benchmarks/ and the repo root importable
+# (do NOT touch PYTHONPATH here — the axon TPU plugin lives on it)
+_here = os.path.dirname(os.path.abspath(__file__))
+for p in (_here, os.path.dirname(_here)):
+    if p not in sys.path:
+        sys.path.insert(0, p)
 
 import numpy as np
 

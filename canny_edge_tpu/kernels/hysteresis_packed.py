@@ -8,6 +8,17 @@ keeps weak + edges entirely in VMEM and runs the complete fixed point
 ops/packed.py) inside one ``pallas_call``: zero HBM traffic between rounds,
 one read of the packed masks and one write of the packed result in total.
 
+**Layout**: the kernel computes in the *transposed* packed layout
+(Wd, H) — word axis on sublanes, image rows on lanes.  In the natural
+(H, Wd) layout the lane dimension is ceil(W/32) words: 60 at 1080p, i.e.
+less than half of each (8, 128) VPU tile carries data, so every bit op
+wastes >50% of the machine.  Transposing fills the tiles (~88%
+utilization at 1080p) and measured 1.84x at 1080p / 1.16x at 4K on v5e
+(benchmarks/exp_flood_t.py), bit-identical results.  The public entry
+points keep the natural (H, Wd) mask interface — the two tiny transposes
+(0.26 MB at 1080p) run in XLA around the kernel and are included in those
+measured wins.
+
 This is the TPU-native endpoint of the reference's hysteresis story: the
 serial CPU BFS (src/utils.cpp:360-427, kept on the CPU even by the CUDA
 path at src/cuda.cu:436) becomes a VMEM-resident bit-parallel flood.
@@ -39,6 +50,132 @@ def _any_nonzero(d):
     return jnp.max(nz.astype(jnp.int32)) > 0
 
 
+# ---------------------------------------------------------------------------
+# transposed-layout shift helpers: array is (Wd, H) uint32, bit = column
+# (word axis on sublanes, image rows on lanes — see module docstring)
+# ---------------------------------------------------------------------------
+
+_U1 = np.uint32(1)
+_U31 = np.uint32(31)
+
+
+def _wl_t(e):
+    """Word from the next-lower column block (sublane shift, zero fill)."""
+    return jnp.concatenate([jnp.zeros_like(e[:1, :]), e[:-1, :]], axis=0)
+
+
+def _wr_t(e):
+    return jnp.concatenate([e[1:, :], jnp.zeros_like(e[:1, :])], axis=0)
+
+
+def _shl1_t(e):
+    """Shift the image one column toward higher column index."""
+    return (e << _U1) | (_wl_t(e) >> _U31)
+
+
+def _shr1_t(e):
+    return (e >> _U1) | (_wr_t(e) << _U31)
+
+
+def _row_up_t(e):
+    """Image row r+1 -> r (lane shift)."""
+    return jnp.concatenate([e[:, 1:], jnp.zeros_like(e[:, :1])], axis=1)
+
+
+def _row_dn_t(e):
+    return jnp.concatenate([jnp.zeros_like(e[:, :1]), e[:, :-1]], axis=1)
+
+
+def _dilate_t(e, weak):
+    """One 8-connected dilation step masked by weak (separable OR)."""
+    h = e | _shl1_t(e) | _shr1_t(e)
+    return weak & (h | _row_up_t(h) | _row_dn_t(h))
+
+
+def _hflood_t(e, weak, width: int):
+    """Flood edges along entire horizontal weak runs (both directions)."""
+    al, bl = e, weak
+    ar, br = e, weak
+    s = 1
+    while s < min(32, width):
+        ss, cs = np.uint32(s), np.uint32(32 - s)
+        al = al | (bl & ((al << ss) | (_wl_t(al) >> cs)))
+        bl = bl & ((bl << ss) | (_wl_t(bl) >> cs))
+        ar = ar | (br & ((ar >> ss) | (_wr_t(ar) << cs)))
+        br = br & ((br >> ss) | (_wr_t(br) << cs))
+        s *= 2
+    wd = e.shape[0]
+    k = 1
+    while k < wd:
+        zl = jnp.zeros_like(al[:k, :])
+
+        def wlk(v):
+            return jnp.concatenate([zl, v[:-k, :]], axis=0)
+
+        def wrk(v):
+            return jnp.concatenate([v[k:, :], zl], axis=0)
+        al = al | (bl & wlk(al))
+        bl = bl & wlk(bl)
+        ar = ar | (br & wrk(ar))
+        br = br & wrk(br)
+        k *= 2
+    return e | (weak & (al | ar))
+
+
+def _vflood_t(e, weak, height: int):
+    """Flood edges along entire vertical weak runs (both directions)."""
+    au, bu = e, weak
+    ad, bd = e, weak
+    k = 1
+    while k < height:
+        zk = jnp.zeros_like(au[:, :k])
+
+        def su(v):
+            return jnp.concatenate([v[:, k:], zk], axis=1)
+
+        def sd(v):
+            return jnp.concatenate([zk, v[:, :-k]], axis=1)
+        au = au | (bu & su(au))
+        bu = bu & su(bu)
+        ad = ad | (bd & sd(ad))
+        bd = bd & sd(bd)
+        k *= 2
+    return e | (weak & (au | ad))
+
+
+def _hyst_packed_kernel_t(weak_ref, strong_ref, out_ref, *, height, width,
+                          inner_dilate):
+    w = weak_ref[:]
+
+    def rest_of_round(e):
+        e = jax.lax.fori_loop(0, inner_dilate - 1,
+                              lambda i, x: _dilate_t(x, w), e)
+        e = _hflood_t(e, w, width)
+        e = _vflood_t(e, w, height)
+        return e
+
+    def body(state):
+        e, _ = state
+        # One dilation is the exact fixed-point test: dilate(e) == e means
+        # no 8-neighbour expansion is possible, and floods only add pixels
+        # a dilation would also add.  So the final (verification) round
+        # costs one dilation + compare instead of a full round, and
+        # non-final rounds lose nothing — the dilation is the round's
+        # first step either way.
+        d1 = _dilate_t(e, w)
+        changed = _any_nonzero(d1 ^ e)
+        new = jax.lax.cond(changed, rest_of_round, lambda x: x, d1)
+        return new, changed
+
+    # the round body is instantiated once, inside the loop (initial flag
+    # True runs round 1 there) — the Mosaic program is half the size of the
+    # peeled-first-round formulation, which this target compiles slowly
+    edges, _ = jax.lax.while_loop(lambda s: s[1], body,
+                                  (strong_ref[:], jnp.asarray(True)))
+    out_ref[:] = edges
+
+
+# natural-layout kernel, kept for A/B comparison (benchmarks/exp_flood_t.py)
 def _hyst_packed_kernel(weak_ref, strong_ref, out_ref, *, height, width,
                         inner_dilate):
     w = weak_ref[:]
@@ -52,30 +189,43 @@ def _hyst_packed_kernel(weak_ref, strong_ref, out_ref, *, height, width,
 
     def body(state):
         e, _ = state
-        # One dilation is the exact fixed-point test: dilate(e) == e means
-        # no 8-neighbour expansion is possible, and floods only add pixels
-        # a dilation would also add.  So the final (verification) round
-        # costs one dilation + compare instead of a full round (~6 us vs
-        # ~28 us at 1080p), and non-final rounds lose nothing — the
-        # dilation is the round's first step either way.
         d1 = dilate_packed(e, w)
         changed = _any_nonzero(d1 ^ e)
         new = jax.lax.cond(changed, rest_of_round, lambda x: x, d1)
         return new, changed
 
-    # the round body is instantiated once, inside the loop (initial flag
-    # True runs round 1 there) — the Mosaic program is half the size of the
-    # peeled-first-round formulation, which this target compiles slowly
     edges, _ = jax.lax.while_loop(lambda s: s[1], body,
                                   (strong_ref[:], jnp.asarray(True)))
     out_ref[:] = edges
 
 
 def hysteresis_packed_pallas_masks(weak_p, strong_p, height: int, width: int,
-                                   *, inner_dilate: int = 6, interpret=None):
-    """Packed (H, Wd) uint32 masks -> packed edge mask, one VMEM kernel."""
+                                   *, inner_dilate: int = 10, interpret=None,
+                                   layout: str = "transposed"):
+    """Packed (H, Wd) uint32 masks -> packed edge mask, one VMEM kernel.
+
+    ``layout``: "transposed" (default — compute in (Wd, H), see module
+    docstring) or "rows" (natural (H, Wd) layout, kept for A/B).  Both
+    produce bit-identical (H, Wd) results.
+    """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if layout == "transposed":
+        kern = functools.partial(_hyst_packed_kernel_t, height=height,
+                                 width=width, inner_dilate=inner_dilate)
+        weak_t = jnp.swapaxes(weak_p, -2, -1)
+        strong_t = jnp.swapaxes(strong_p, -2, -1)
+        out_t = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(weak_t.shape, jnp.uint32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+            compiler_params=vmem,
+        )(weak_t, strong_t)
+        return jnp.swapaxes(out_t, -2, -1)
     kern = functools.partial(_hyst_packed_kernel, height=height, width=width,
                              inner_dilate=inner_dilate)
     return pl.pallas_call(
@@ -88,12 +238,11 @@ def hysteresis_packed_pallas_masks(weak_p, strong_p, height: int, width: int,
         # the flood's doubling temporaries keep ~tens of (H, W/32) words
         # live at once; the packed masks are tiny (260 KB at 1080p) but the
         # default 16 MB scoped-vmem budget still needs raising at 4K
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=vmem,
     )(weak_p, strong_p)
 
 
-def hysteresis_packed_pallas(nm, min_val, max_val, *, inner_dilate: int = 6,
+def hysteresis_packed_pallas(nm, min_val, max_val, *, inner_dilate: int = 10,
                              interpret=None):
     """int NMS magnitude (H, W) -> int16 {0,255} via the VMEM flood kernel.
 

@@ -32,7 +32,7 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
     ``hysteresis_steps``: dilations per convergence check for the *unpacked*
     dilation engine (the strict-reference path and ops.stages.hysteresis).
     The packed flood engines used by every production backend converge
-    on-chip with tuned inner_dilate values (4 XLA / 6 VMEM kernel — see the
+    on-chip with tuned inner_dilate values (4 XLA / 10 VMEM kernel — see the
     notes below) and deliberately ignore this knob; it never affects
     results, only engine round granularity.
     ``backend``:
@@ -74,7 +74,7 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
         weak_p, strong_p = frontend_nm_xla(img, kernel_vals,
                                            thresholds=(min_val, max_val))
         edges = hysteresis_packed_pallas_masks(weak_p, strong_p, h, w,
-                                               inner_dilate=6)
+                                               inner_dilate=10)
         return jnp.where(unpack_mask(edges, w), jnp.int16(255), jnp.int16(0))
     nm = frontend_nm_xla(img, kernel_vals)
     from ..ops.packed import hysteresis_packed

@@ -155,3 +155,35 @@ def test_hysteresis_packed_stats(test_image):
     assert int(rounds) >= 1
     np.testing.assert_array_equal(np.asarray(out),
                                   golden.hysteresis(nm, 30, 90))
+
+
+@pytest.mark.parametrize("shape", [(64, 250), (17, 40), (1, 40), (40, 1),
+                                   (1, 1), (2, 2), (8, 96)])
+def test_flood_kernel_layouts_agree(shape):
+    """The transposed-layout VMEM flood (production default) and the
+    natural-layout kernel produce identical packed edges, both equal to
+    the golden BFS (kernels/hysteresis_packed.py layout= param)."""
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.kernels.hysteresis_packed import (
+        hysteresis_packed_pallas_masks)
+    from canny_edge_tpu.ops.packed import pack_mask, unpack_mask
+
+    H, W = shape
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    nm = rng.integers(0, 200, size=(H, W)).astype(np.int16)
+    nm[rng.random((H, W)) < 0.05] = 190
+    mn, mx = 40, 160
+
+    def run(layout):
+        def f(x):
+            w = pack_mask(x >= mn)
+            s = pack_mask(x >= mx)
+            e = hysteresis_packed_pallas_masks(w, s, H, W, layout=layout)
+            return jnp.where(unpack_mask(e, W), jnp.int16(255), jnp.int16(0))
+        return np.asarray(jax.jit(f)(jnp.asarray(nm, jnp.int32)))
+
+    ref = golden.hysteresis(nm, mn, mx)
+    np.testing.assert_array_equal(run("transposed"), ref)
+    np.testing.assert_array_equal(run("rows"), ref)
