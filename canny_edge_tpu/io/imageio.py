@@ -48,6 +48,10 @@ def bgr_to_gray(bgr: np.ndarray) -> np.ndarray:
 
 
 def save_png(path: str, img: np.ndarray) -> None:
+    # an extension-less path gives an opaque encoder error deep inside
+    # cv2/PIL — default to .png instead (the format this writer is for)
+    if not os.path.splitext(path)[1]:
+        path = path + ".png"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     arr = np.asarray(img)
     if arr.dtype != np.uint8:

@@ -5,10 +5,12 @@ Three formulations of the same bit-exact front end:
 * :func:`frontend_nm_static` — the production XLA path: select-free,
   every border case resolved at trace time (static row ranges, host
   count vectors, clamp/OOB pads).  Whole images up to ~1440 rows run as
-  one program; taller images as full-width row bands (XLA:TPU per-pixel
-  stencil cost grows sharply with program height — measured ~4x per size
-  doubling: 30.6 GP/s at 540x1920 vs 2.1 GP/s at 4320x1920), with
-  interior bands sharing one row0-independent program under ``lax.map``.
+  one program; taller images as full-width row bands (at 4K the banded
+  form measures ~0.66 ms vs ~1.0 whole-image on v5e; below ~1080 rows
+  per-pixel cost is flat and banding is a wash —
+  benchmarks/exp_bands.py).  Small band counts run as independent
+  static programs; very tall images share one row0-independent interior
+  program under ``lax.map`` to bound compile time.
 * :func:`window_nm` — the general masked window (traced or static
   offsets), used by the border strips and the Pallas restack kernel.
 * :func:`window_nm_interior` — maskless interior-only form used inside
@@ -554,10 +556,10 @@ def frontend_nm_xla(img, kernel_vals, *, whole_h: int = 1440,
     """uint8 (H, W) -> int32 NMS magnitude: production XLA front end.
 
     One select-free whole-image program (:func:`frontend_nm_static`) for
-    images up to ``whole_h`` rows; ``band_h``-row bands above that
-    (XLA:TPU stencil throughput peaks near ~720-row programs at 4K — v5e
-    profile: 0.92 ms banded-720 vs 1.08 whole-image at 2160x3840, while
-    at 1080p the whole image wins, 0.157 vs ~0.34 banded-512).
+    images up to ``whole_h`` rows; ``band_h``-row bands above that (v5e
+    profile at 2160x3840: ~0.66 ms unmapped-banded vs 1.08 whole-image;
+    at 1080p whole-image and banded tie at ~0.176 ms, so one program —
+    zero stitching — wins; benchmarks/exp_bands.py).
 
     ``thresholds``: see :func:`frontend_nm_static` — returns packed
     (weak, strong) masks instead of nm, never materializing nm in HBM.
@@ -580,12 +582,23 @@ def frontend_nm_xla(img, kernel_vals, *, whole_h: int = 1440,
 
 
 def frontend_nm_banded(img, kernel_vals, *, band_h: int = 512,
-                       thresholds=None):
-    """uint8 (H, W) -> int32 NMS magnitude (H, W): XLA band-mapped front end.
+                       thresholds=None, max_unmapped_bands: int = 8):
+    """uint8 (H, W) -> int32 NMS magnitude (H, W): XLA banded front end.
 
-    Full-width row bands with stencil halos run sequentially under
-    ``lax.map``, each as a band-sized 2-D program (the size regime where
-    XLA's stencil throughput peaks).  Bit-exact vs the stage composition.
+    Full-width row bands with stencil halos, each a band-sized 2-D
+    program.  Bit-exact vs the stage composition.
+
+    Band execution policy (measured on v5e, benchmarks/exp_bands.py):
+
+    * ``nb <= max_unmapped_bands``: every band is its own independent
+      static program on a slice of the shared padded image — no
+      ``jnp.stack`` of band windows and no ``lax.map``, whose
+      per-iteration window copies cost ~8% at 4K (0.72 -> 0.66 ms).
+      Compile time grows with nb, so this is capped.
+    * taller images: interior bands (dependency cone strictly inside the
+      image, program independent of row0) share one program under
+      ``lax.map``; border bands get their own static programs.
+
     ``thresholds``: see :func:`frontend_nm_static`.
     """
     H, W = img.shape
@@ -606,13 +619,9 @@ def frontend_nm_banded(img, kernel_vals, *, band_h: int = 512,
         # image: rows touched span [i*band_h - r, (i+1)*band_h + r)
         return i * band_h - r >= 0 and (i + 1) * band_h + r <= H
 
-    # Interior bands (dependency cone strictly inside the image) have no
-    # border cases at all, so their traced program is independent of row0 —
-    # one shared program under lax.map (any interior representative row0
-    # produces it).  The few border bands (first / last one or two) get
-    # their own host-static select-free programs (frontend_nm_static).
-    interior = [i for i in range(nb) if is_interior(i)]
-    specials = [i for i in range(nb) if not is_interior(i)]
+    interior = [] if nb <= max_unmapped_bands else \
+        [i for i in range(nb) if is_interior(i)]
+    specials = [i for i in range(nb) if i not in interior]
     outs = [None] * nb
     if interior:
         stacked = jnp.stack([band_window(i) for i in interior])
