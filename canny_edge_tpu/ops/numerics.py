@@ -315,6 +315,14 @@ def nms_bin_masks_f32(gx, gy):
     predicate matches the integer path bit for bit.  Returning the four
     masks directly (instead of an encoded angle that is then compared
     against four constants) saves the encode/decode select chains.
+
+    ``b90 == high``: the spec form (quantize_angle_i32) writes
+    ``((gx==0)&(gy!=0)) | ((same|opp)&high)``, but under ``high``
+    (ay > ax >= 0) ``gy != 0`` always holds, so gx == 0 implies the first
+    clause and gx != 0 implies sign_prod != 0 — both collapse to ``high``
+    alone.  Verified exhaustively over all 4081^2 gradient pairs and
+    pinned by tests/test_ops_bitexact.py::
+    test_nms_bin_masks_f32_match_quantize_angle.
     """
     zero = np.float32(0)
     ax = jnp.abs(gx)
@@ -324,11 +332,9 @@ def nms_bin_masks_f32(gx, gy):
     high = (ay > ax) & (diff2 > np.float32(2) * ax * ax)
     mid = ~low & ~high
     sign_prod = gx * gy
-    same = sign_prod > zero
-    opp = sign_prod < zero
-    b45 = same & mid
-    b135 = opp & mid
-    b90 = ((gx == zero) & (gy != zero)) | ((same | opp) & high)
+    b45 = (sign_prod > zero) & mid
+    b135 = (sign_prod < zero) & mid
+    b90 = high
     b0 = ~(b45 | b135 | b90)
     return b0, b45, b90, b135
 

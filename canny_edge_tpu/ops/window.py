@@ -29,9 +29,48 @@ import jax.numpy as jnp
 import numpy as np
 
 from .numerics import (div_by_near_one, exact_div_by_vector, isqrt_f32,
-                       mul_const_f32, near_one_ulp_offset, nms_bin_masks_f32)
+                       mul_const_f32, near_one_ulp_offset)
 
 _NMS_OOB = -32768
+
+
+def _nms_maxc(gxc, gyc, m0, nb):
+    """Max-cascade NMS tail: ``keep = m0 > max(direction neighbour pair)``.
+
+    ``gxc``/``gyc`` are the gradients on the output core; ``nb(dr, dc)``
+    returns the magnitude neighbour at that offset (with whatever OOB
+    substitution the caller's border policy requires — the OOB sentinel
+    only lowers the max, which preserves ``m0 > max(n1, n2)  <=>
+    (m0 > n1) & (m0 > n2)`` exactly; every operand is an integer-valued
+    f32 so the maxes and compares are exact).
+
+    The direction's pair-max is chosen by a high/low/sign select cascade:
+    ``b90 == high`` (see numerics.nms_bin_masks_f32 — under high gy != 0
+    always holds), and both the ``low`` and the sign==0 mid bins take the
+    horizontal pair, so neither ``mid`` nor the b45/b135 ANDs are ever
+    materialized.  ~27 VPU ops vs ~37 for the select-neighbours-first
+    form and ~45 for compare-all-8 — and only 2 i1-vector ANDs, which is
+    the op class Mosaic lowers poorly (benchmarks/exp_nms.py: XLA
+    interior 1080p 0.140 -> 0.125 ms; the reference's semantics — ties
+    suppressed, src/utils.cpp:251-305 — are unchanged).
+    """
+    ax = jnp.abs(gxc)
+    ay = jnp.abs(gyc)
+    diff2 = (ax - ay) * (ax - ay)
+    two = np.float32(2)
+    low = (ax > ay) & (two * ay * ay < diff2)
+    high = (ay > ax) & (diff2 > two * ax * ax)
+    sp = gxc * gyc
+    maxh = jnp.maximum(nb(0, -1), nb(0, 1))
+    thr = jnp.where(
+        high, jnp.maximum(nb(-1, 0), nb(1, 0)),
+        jnp.where(low, maxh,
+                  jnp.where(sp > np.float32(0),
+                            jnp.maximum(nb(-1, 1), nb(1, -1)),
+                            jnp.where(sp < np.float32(0),
+                                      jnp.maximum(nb(-1, -1), nb(1, 1)),
+                                      maxh))))
+    return jnp.where(m0 > thr, m0, np.float32(0))
 
 
 def cdiv(a: int, b: int) -> int:
@@ -260,7 +299,6 @@ def window_nm(x, row0, col0, H: int, W: int, kernel_vals, th: int, tw: int,
           + _sel(g2col.lt(1, W), e[:, 2:], np.float32(0))
           + _sel(g2col.ge(-1), e[:, :-2], np.float32(0)))
     mag = isqrt_f32(gx * gx + gy * gy)
-    b0a, b45a, b90a, b135a = nms_bin_masks_f32(gx, gy)
 
     # ---- nms on the core (th, tw) ----
     g3row = _GCoord(row0 + r, th, (th, 1), 0)
@@ -272,18 +310,8 @@ def window_nm(x, row0, col0, H: int, W: int, kernel_vals, th: int, tw: int,
         return _sel(_and(g3row.inb(dr, H), g3col.inb(dc, W)),
                     v, np.float32(_NMS_OOB))
 
-    keep0 = (m0 > nb(0, -1)) & (m0 > nb(0, 1))
-    keep45 = (m0 > nb(-1, 1)) & (m0 > nb(1, -1))
-    keep90 = (m0 > nb(-1, 0)) & (m0 > nb(1, 0))
-    keep135 = (m0 > nb(-1, -1)) & (m0 > nb(1, 1))
-
-    def core(b):
-        return b[1:-1, 1:-1]
-
-    # logical combination instead of select-on-bool (Mosaic i1 limitation)
-    keep = ((core(b0a) & keep0) | (core(b45a) & keep45)
-            | (core(b90a) & keep90) | (core(b135a) & keep135))
-    return jnp.where(keep, m0, np.float32(0)).astype(jnp.int32)
+    nmf = _nms_maxc(gx[1:-1, 1:-1], gy[1:-1, 1:-1], m0, nb)
+    return nmf.astype(jnp.int32)
 
 
 def window_nm_interior(x, kernel_vals, th: int, tw: int, r: int,
@@ -341,24 +369,14 @@ def window_nm_interior(x, kernel_vals, th: int, tw: int, r: int,
     e = sm[2:, :] - sm[:-2, :]
     gy = two * e[:, 1:-1] + e[:, 2:] + e[:, :-2]
     mag = isqrt_f32(gx * gx + gy * gy)
-    b0a, b45a, b90a, b135a = nms_bin_masks_f32(gx, gy)
 
     m0 = mag[1:-1, 1:-1]
 
     def nb(dr, dc):
         return mag[1 + dr:1 + dr + th, 1 + dc:1 + dc + tw]
 
-    keep0 = (m0 > nb(0, -1)) & (m0 > nb(0, 1))
-    keep45 = (m0 > nb(-1, 1)) & (m0 > nb(1, -1))
-    keep90 = (m0 > nb(-1, 0)) & (m0 > nb(1, 0))
-    keep135 = (m0 > nb(-1, -1)) & (m0 > nb(1, 1))
-
-    def core(b):
-        return b[1:-1, 1:-1]
-
-    keep = ((core(b0a) & keep0) | (core(b45a) & keep45)
-            | (core(b90a) & keep90) | (core(b135a) & keep135))
-    return jnp.where(keep, m0, np.float32(0)).astype(jnp.int32)
+    nmf = _nms_maxc(gx[1:-1, 1:-1], gy[1:-1, 1:-1], m0, nb)
+    return nmf.astype(jnp.int32)
 
 
 def frontend_nm_static(x, row0: int, nrows: int, H: int, W: int,
@@ -455,7 +473,6 @@ def frontend_nm_static(x, row0: int, nrows: int, H: int, W: int,
     gy = two * e + ez[:, 2:] + ez[:, :-2]
 
     mag = isqrt_f32(gx * gx + gy * gy)
-    b0a, b45a, b90a, b135a = nms_bin_masks_f32(gx, gy)
 
     # ---- nms rows [n_lo, n_hi) = [row0, row0+nrows) clamped ----
     n_lo = max(row0, 0)
@@ -472,20 +489,7 @@ def frontend_nm_static(x, row0: int, nrows: int, H: int, W: int,
     def core(b):
         return rows(n_lo, n_hi, b, g_lo)
 
-    # Select the direction's two neighbours first (6 selects on the
-    # mutually exclusive bin masks, bin 0 as the default), then one
-    # compare pair — 9 ops vs 19 for the compare-all-8-then-combine form.
-    # XLA-only: this path never runs under Mosaic, so bool-conditioned
-    # selects are fine (b0a is dead here and DCE'd).
-    del b0a
-    b45c, b90c, b135c = core(b45a), core(b90a), core(b135a)
-    m0 = nb(0, 0)
-    n1 = jnp.where(b45c, nb(-1, 1), jnp.where(b90c, nb(-1, 0),
-                   jnp.where(b135c, nb(-1, -1), nb(0, -1))))
-    n2 = jnp.where(b45c, nb(1, -1), jnp.where(b90c, nb(1, 0),
-                   jnp.where(b135c, nb(1, 1), nb(0, 1))))
-    keep = (m0 > n1) & (m0 > n2)
-    nmf = jnp.where(keep, m0, np.float32(0))
+    nmf = _nms_maxc(core(gx), core(gy), nb(0, 0), nb)
     if thresholds is not None:
         from .packed import pack_mask
 

@@ -103,6 +103,41 @@ def test_quantize_angle_matches_golden():
     np.testing.assert_array_equal(a, b)
 
 
+def test_nms_bin_masks_f32_match_quantize_angle():
+    """The f32 bin masks must agree with the integer angle quantization
+    over the full reachable gradient range (|g| <= 2040 for uint8 inputs):
+    dense small grid + random extremes + axis/diagonal boundary lines.
+
+    Guards the b90 == high simplification: under high (ay > ax >= 0),
+    gy != 0 always holds, so the reference's explicit vertical clause
+    ((gx==0)&(gy!=0)) is subsumed (verified exhaustively offline over all
+    4081^2 pairs; this test pins a dense + adversarial sample).
+    """
+    import jax
+
+    r = np.arange(-130, 131)
+    gx, gy = [a.ravel() for a in np.meshgrid(r, r)]
+    rng = np.random.default_rng(7)
+    big = rng.integers(-2040, 2041, size=(2, 20000))
+    lines = np.arange(-2040, 2041, 7)
+    zeros = np.zeros_like(lines)
+    gx = np.concatenate([gx, big[0], lines, zeros, lines, lines, -lines])
+    gy = np.concatenate([gy, big[1], zeros, lines, lines, -lines, lines])
+    gxf = gx.astype(np.float32)
+    gyf = gy.astype(np.float32)
+    b0, b45, b90, b135 = [np.asarray(m) for m in jax.jit(
+        numerics.nms_bin_masks_f32)(gxf, gyf)]
+    ang = golden.quantize_angle(gx.astype(np.int32), gy.astype(np.int32))
+    # masks must be exhaustive and mutually exclusive
+    total = (b0.astype(int) + b45.astype(int) + b90.astype(int)
+             + b135.astype(int))
+    np.testing.assert_array_equal(total, 1)
+    np.testing.assert_array_equal(b0, ang == 0)
+    np.testing.assert_array_equal(b45, ang == 45)
+    np.testing.assert_array_equal(b90, ang == 90)
+    np.testing.assert_array_equal(b135, ang == 135)
+
+
 # --- per-stage bit-exactness ----------------------------------------------
 
 @pytest.mark.parametrize("sigma", SIGMAS)
