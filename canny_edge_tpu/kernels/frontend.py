@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.window import frontend_nm_strips, window_nm, window_nm_interior
+from ..utils.constants import frontend_vmem_budget, kernel_vmem_limit
 
 _NMS_OOB = -32768
 
@@ -77,7 +78,9 @@ def _auto_tile_h(H: int, W: int, r: int) -> int:
     temporaries under the ~110 MB scoped-VMEM budget.
     """
     rc = _round_up(r, 64)
-    budget = 110 * 1024 * 1024  # 1080p whole-image (9 MB window) compiles
+    # device-keyed scoped-VMEM budget (utils/constants.py); 1080p
+    # whole-image (9 MB window) compiles within it on every known chip
+    budget = frontend_vmem_budget()
     th_max = budget // (11 * 4 * (W + 2 * rc)) - 2 * _round_up(r, 8)
     th_max = max(8, (th_max // 8) * 8)
     H8 = _round_up(H, 8)
@@ -120,7 +123,7 @@ def frontend_nm(img, kernel_vals, *, tile=None, interpret=None,
     tw = min(tile[1], max(128, W))
     nty, ntx = _cdiv(H, th), _cdiv(W, tw)
 
-    vmem_params = pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024)
+    vmem_params = pltpu.CompilerParams(vmem_limit_bytes=kernel_vmem_limit())
 
     if indexing == "element":
         # Mosaic requires Element windows with (8, 128)-divisible shapes, so

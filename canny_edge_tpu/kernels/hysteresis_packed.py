@@ -39,6 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.packed import (cdiv, dilate_packed, hflood, pack_mask,
                           unpack_mask, vflood)
+from ..utils.constants import (FLOOD_LIVE_WORD_ARRAYS, INNER_DILATE_VMEM,
+                               INNER_DILATE_XLA, kernel_vmem_limit)
 
 
 def _any_nonzero(d):
@@ -199,18 +201,45 @@ def _hyst_packed_kernel(weak_ref, strong_ref, out_ref, *, height, width,
     out_ref[:] = edges
 
 
+def flood_fits_vmem(height: int, width: int,
+                    vmem_budget: int | None = None) -> bool:
+    """Capacity guard: can the whole-image packed flood run VMEM-resident?
+
+    The kernel keeps up to FLOOD_LIVE_WORD_ARRAYS (Wd, H) uint32 arrays
+    live at once (while_loop state + or-scan doubling chains); past the
+    budget Mosaic fails to allocate, so callers must dispatch to the
+    HBM-streaming XLA flood instead (utils/constants.py for calibration).
+    """
+    if vmem_budget is None:
+        vmem_budget = kernel_vmem_limit()
+    arr_bytes = cdiv(width, 32) * height * 4
+    return FLOOD_LIVE_WORD_ARRAYS * arr_bytes <= vmem_budget
+
+
 def hysteresis_packed_pallas_masks(weak_p, strong_p, height: int, width: int,
-                                   *, inner_dilate: int = 10, interpret=None,
-                                   layout: str = "transposed"):
+                                   *, inner_dilate: int = INNER_DILATE_VMEM,
+                                   interpret=None, layout: str = "transposed",
+                                   vmem_budget: int | None = None):
     """Packed (H, Wd) uint32 masks -> packed edge mask, one VMEM kernel.
 
     ``layout``: "transposed" (default — compute in (Wd, H), see module
     docstring) or "rows" (natural (H, Wd) layout, kept for A/B).  Both
     produce bit-identical (H, Wd) results.
+
+    Shapes whose flood working set exceeds the VMEM budget (8K frames and
+    beyond — see :func:`flood_fits_vmem`) automatically fall back to the
+    XLA packed flood (ops.packed), which streams the masks through HBM:
+    same fixed point, same result, no compile-time cliff.
     """
+    if not flood_fits_vmem(height, width, vmem_budget):
+        from ..ops.packed import hysteresis_packed_masks
+
+        edges, _ = hysteresis_packed_masks(weak_p, strong_p, height, width,
+                                           inner_dilate=INNER_DILATE_XLA)
+        return edges
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    vmem = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=kernel_vmem_limit())
     if layout == "transposed":
         kern = functools.partial(_hyst_packed_kernel_t, height=height,
                                  width=width, inner_dilate=inner_dilate)
@@ -242,7 +271,8 @@ def hysteresis_packed_pallas_masks(weak_p, strong_p, height: int, width: int,
     )(weak_p, strong_p)
 
 
-def hysteresis_packed_pallas(nm, min_val, max_val, *, inner_dilate: int = 10,
+def hysteresis_packed_pallas(nm, min_val, max_val, *,
+                             inner_dilate: int = INNER_DILATE_VMEM,
                              interpret=None):
     """int NMS magnitude (H, W) -> int16 {0,255} via the VMEM flood kernel.
 

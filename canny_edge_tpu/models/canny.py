@@ -73,17 +73,22 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
         h, w = img.shape[-2], img.shape[-1]
         weak_p, strong_p = frontend_nm_xla(img, kernel_vals,
                                            thresholds=(min_val, max_val))
-        edges = hysteresis_packed_pallas_masks(weak_p, strong_p, h, w,
-                                               inner_dilate=10)
+        # inner_dilate / VMEM capacity guard live in utils/constants.py and
+        # kernels/hysteresis_packed.py (over-budget shapes, e.g. 8K frames,
+        # automatically stream through the XLA flood instead)
+        edges = hysteresis_packed_pallas_masks(weak_p, strong_p, h, w)
         return jnp.where(unpack_mask(edges, w), jnp.int16(255), jnp.int16(0))
     nm = frontend_nm_xla(img, kernel_vals)
     from ..ops.packed import hysteresis_packed
 
     # bit-packed flood: same fixed point as stages.hysteresis, ~3-6x faster
-    # (ops/packed.py); inner_dilate=4 here — the XLA flood's full-round
-    # convergence test makes extra dilations per round cost more than they
-    # save (the VMEM kernel above uses 6 with its cheap early-exit test)
-    return hysteresis_packed(nm, min_val, max_val, inner_dilate=4)
+    # (ops/packed.py); its default inner_dilate is the tuned
+    # INNER_DILATE_XLA — the XLA flood's full-round convergence test makes
+    # extra dilations per round cost more than they save (the VMEM kernel
+    # above defaults to the larger INNER_DILATE_VMEM, retuned in round 2
+    # for its cheap early-exit test; utils/constants.py is the single
+    # source of truth for both)
+    return hysteresis_packed(nm, min_val, max_val)
 
 
 def canny_fn_batched(imgs, min_val, max_val, *, kernel_vals,

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.constants import INNER_DILATE_XLA
+
 _U1 = np.uint32(1)
 _U31 = np.uint32(31)
 
@@ -166,7 +168,7 @@ def vflood(e, weak, height: int):
 # ---------------------------------------------------------------------------
 
 def hysteresis_packed_masks(weak_p, strong_p, height: int, width: int,
-                            inner_dilate: int = 4):
+                            inner_dilate: int = INNER_DILATE_XLA):
     """Packed weak/strong masks -> packed edge mask + rounds-run stat.
 
     The round body is instantiated exactly once (inside the while_loop,
@@ -198,7 +200,7 @@ def hysteresis_packed_masks(weak_p, strong_p, height: int, width: int,
     return edges, rounds
 
 
-def hysteresis_packed(nm, min_val, max_val, inner_dilate: int = 4):
+def hysteresis_packed(nm, min_val, max_val, inner_dilate: int = INNER_DILATE_XLA):
     """int NMS magnitude (H, W) -> int16 {0,255}; bit-packed fixed point.
 
     Drop-in equivalent of ops.stages.hysteresis (identical result set; see
@@ -208,7 +210,8 @@ def hysteresis_packed(nm, min_val, max_val, inner_dilate: int = 4):
     return out
 
 
-def hysteresis_packed_with_stats(nm, min_val, max_val, inner_dilate: int = 4):
+def hysteresis_packed_with_stats(nm, min_val, max_val,
+                                 inner_dilate: int = INNER_DILATE_XLA):
     h, w = nm.shape[-2], nm.shape[-1]
     weak_p = pack_mask(nm >= min_val)
     strong_p = pack_mask(nm >= max_val)

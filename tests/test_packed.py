@@ -187,3 +187,60 @@ def test_flood_kernel_layouts_agree(shape):
     ref = golden.hysteresis(nm, mn, mx)
     np.testing.assert_array_equal(run("transposed"), ref)
     np.testing.assert_array_equal(run("rows"), ref)
+
+
+def test_flood_vmem_capacity_guard():
+    """Over-VMEM shapes dispatch to the XLA packed flood automatically.
+
+    Calibration (utils/constants.py): 8K fits the VMEM kernel (measured
+    compiling + running on v5e), 16K must fall back instead of hitting the
+    Mosaic compile cliff.  A tiny explicit budget forces the fallback on a
+    small image and the result must stay bit-exact vs the golden BFS.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.kernels.hysteresis_packed import (
+        flood_fits_vmem, hysteresis_packed_pallas_masks)
+    from canny_edge_tpu.ops.packed import pack_mask, unpack_mask
+
+    assert flood_fits_vmem(2160, 3840)          # 4K: VMEM-resident
+    assert flood_fits_vmem(4320, 7680)          # 8K: measured working
+    assert not flood_fits_vmem(8640, 15360)     # 16K: falls back
+
+    H, W = 64, 250
+    rng = np.random.default_rng(7)
+    nm = rng.integers(0, 200, size=(H, W)).astype(np.int32)
+    nm[rng.random((H, W)) < 0.05] = 190
+
+    def f(x):
+        w = pack_mask(x >= 40)
+        s = pack_mask(x >= 160)
+        e = hysteresis_packed_pallas_masks(w, s, H, W, vmem_budget=1024)
+        return jnp.where(unpack_mask(e, W), jnp.int16(255), jnp.int16(0))
+
+    out = np.asarray(jax.jit(f)(jnp.asarray(nm)))
+    np.testing.assert_array_equal(out, golden.hysteresis(nm, 40, 160))
+
+
+def test_fused_backend_over_vmem_dispatch(test_image, monkeypatch):
+    """backend="fused" on a frame whose flood exceeds VMEM still produces
+    bit-exact output via the automatic XLA-flood dispatch (the production
+    path an 8K frame takes; forced here by shrinking the guard)."""
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.golden.reference import gaussian_kernel
+    from canny_edge_tpu.kernels import hysteresis_packed as hp
+    from canny_edge_tpu.models.canny import canny_fn
+
+    monkeypatch.setattr(hp, "flood_fits_vmem", lambda *a, **k: False)
+    kernel_vals = tuple(float(v) for v in gaussian_kernel(1.0))
+    import jax
+
+    out = jax.jit(lambda x: canny_fn(
+        x, jnp.int32(50), jnp.int32(150), kernel_vals=kernel_vals,
+        backend="fused"))(test_image)
+    sm = golden.gaussian_blur(test_image, 1.0)
+    nm = golden.nonmax_suppression(*golden.sobel(sm))
+    np.testing.assert_array_equal(np.asarray(out),
+                                  golden.hysteresis(nm, 50, 150))
