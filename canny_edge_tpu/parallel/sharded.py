@@ -1,16 +1,35 @@
 """Spatially partitioned Canny pipeline: shard_map over a ("data","y","x") mesh.
 
 The image batch is sharded (B/Pd, H/Py, W/Px) per device.  Every stage runs
-on the local block with ICI halo exchange supplying neighbor pixels, and
-*global-coordinate masks* applying the reference's image-border semantics
-(renormalized blur taps, clamped/dropped Sobel terms, never-suppressing NMS
-neighbors) only at the true image border — so the sharded pipeline is
-bit-exact against the single-chip path and the golden oracle for any mesh
-shape.
+on the local block with ICI halo exchange supplying neighbor pixels, and the
+reference's image-border semantics (renormalized blur taps, clamped/dropped
+Sobel terms, never-suppressing NMS neighbors) applied only at the true image
+border — so the sharded pipeline is bit-exact against the single-chip path
+and the golden oracle for any mesh shape.
 
-Hysteresis becomes the distributed fixed point required by BASELINE.json:
-K local dilation steps per round on a K-wide halo, then a global
-``psum`` of the changed-pixel count as the convergence test.
+Two engine generations coexist:
+
+* **static** (production, round 3) — the round-2 single-chip engines on the
+  mesh.  Key observation: under SPMD a block's border behavior depends on
+  its position only through *which image borders its dependency cone
+  touches*, and every block of a given border class (top/mid/bottom ×
+  left/mid/right) compiles to the **identical** program with **host-static**
+  offsets — the mid classes because no border mask fires anywhere in them,
+  the border classes because equal block sizes pin their offsets (0 or
+  (n-1)·block).  The frontend therefore runs as a ``lax.switch`` over at
+  most 9 statically specialized branches, each using the select-free static
+  machinery of ops.window (host count vectors, near-one interior division
+  split, trace-time-elided masks) — no per-pixel traced border selects
+  anywhere.  Hysteresis is the bit-packed distributed flood: 32 px/word
+  masks, one packed word-column + one packed row of 2-phase ``ppermute``
+  halo per round, the whole local fixed point inside the VMEM Pallas flood
+  kernel (or the XLA packed flood on CPU meshes), and a global ``psum`` of
+  the changed-word count as the termination test.  At mesh 1×1×1 this
+  degenerates to exactly the single-chip ``fused`` engines.
+* **generic** (round 1, fallback) — traced-offset masked stages +
+  int8-unpacked dilation hysteresis; still bit-exact, used automatically
+  for degenerate block geometries where the static class analysis does not
+  hold (see ``ShardedCanny._static_ok``).
 
 This is the TPU-native replacement for a multi-GPU decomposition the
 reference never had (it is single-GPU, single-frame; SURVEY.md §2.2).
@@ -30,6 +49,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..golden.reference import gaussian_kernel
 from ..ops.numerics import (exact_div_by_vector, isqrt_int32, mul_const_f32,
                             quantize_angle_int)
+from ..ops.packed import cdiv, pack_mask, unpack_mask
+from ..utils.constants import INNER_DILATE_XLA
 from .halo import halo_exchange_2d, halo_exchange_cols, halo_exchange_rows
 
 EDGE = 255
@@ -238,6 +259,177 @@ def _pad_row(ndim, lohi):
 
 
 # ---------------------------------------------------------------------------
+# static border-class engine (the round-2 single-chip engines on the mesh)
+# ---------------------------------------------------------------------------
+
+def _axis_classes(n: int, block: int) -> list[int]:
+    """Static base offsets of the border classes along one mesh axis.
+
+    n == 1: the single block touches both borders (base 0).
+    n == 2: first (base 0) and last (base (n-1)*block) — no interior.
+    n >= 3: plus one shared interior class represented by base == block.
+    The interior representative is valid for *every* interior block because
+    ShardedCanny._static_ok guarantees each interior block's dependency
+    cone lies strictly inside the image: no border mask fires and every
+    renormalization count vector equals the full kernel sum, so the
+    compiled interior program is offset-independent.
+    """
+    if n == 1:
+        return [0]
+    if n == 2:
+        return [0, block]
+    return [0, block, (n - 1) * block]
+
+
+def _class_index(axis_name: str, n: int):
+    """Traced class id of this device along one axis (None when n == 1)."""
+    if n == 1:
+        return None
+    i = lax.axis_index(axis_name)
+    if n == 2:
+        return jnp.where(i == 0, 0, 1).astype(jnp.int32)
+    return jnp.where(i == 0, 0,
+                     jnp.where(i == n - 1, 2, 1)).astype(jnp.int32)
+
+
+def _frontend_shard_static(img, mn, mx, *, kernel_vals, H, W, hl, wl,
+                           ny, nx):
+    """(hl, wl) uint8 block -> bit-packed (weak, strong) uint32 (hl, wl//32).
+
+    One 2-phase halo exchange of the raw uint8 block (r = c + 2 texels),
+    then a ``lax.switch`` over the statically specialized select-free
+    frontends for each border class (ops.window machinery: host count
+    vectors, near-one interior division split, trace-time mask elision).
+    Thresholding + 32-to-1 bit packing fuse into every branch, so the nm
+    map never reaches HBM — the same fusion the single-chip fused backend
+    uses (models/canny.py).  Branches contain no collectives, so per-device
+    branch divergence is safe.
+    """
+    from ..ops.window import frontend_nm_static, window_nm
+
+    kernel = np.asarray(kernel_vals, np.float32)
+    c = kernel.shape[0] // 2
+    r = c + 2
+    wd = wl // 32
+    xp = halo_exchange_2d(img, r, Y_AXIS, X_AXIS).astype(jnp.float32)
+
+    def branch_fn(gr0: int, gc0: int):
+        def branch(op):
+            x, mn, mx = op
+            if nx == 1:
+                # the block spans the full image width: the row-banded
+                # select-free program applies directly (its packing tail
+                # emits ceil(W/32) words; pad to the block's word count)
+                weak, strong = frontend_nm_static(
+                    x, gr0, hl, H, W, kernel_vals, thresholds=(mn, mx))
+                padw = wd - weak.shape[1]
+                if padw:
+                    weak = jnp.pad(weak, ((0, 0), (0, padw)))
+                    strong = jnp.pad(strong, ((0, 0), (0, padw)))
+                return weak, strong
+            nm = window_nm(x, gr0 - r, gc0 - r, H, W, kernel_vals,
+                           hl, wl, r)
+            weak = nm >= mn
+            strong = nm >= mx
+            # zero the padding rows/cols beyond the true image — static
+            # per class (min_val == 0 would otherwise mark padding weak
+            # and bridge components across the pad, VERDICT r1)
+            if gr0 + hl > H:
+                rowm = lax.broadcasted_iota(jnp.int32, (hl, 1), 0) < H - gr0
+                weak, strong = weak & rowm, strong & rowm
+            if gc0 + wl > W:
+                colm = lax.broadcasted_iota(jnp.int32, (1, wl), 1) < W - gc0
+                weak, strong = weak & colm, strong & colm
+            return pack_mask(weak), pack_mask(strong)
+        return branch
+
+    y_bases = _axis_classes(ny, hl)
+    x_bases = _axis_classes(nx, wl)
+    branches = [branch_fn(gr0, gc0) for gr0 in y_bases for gc0 in x_bases]
+    op = (xp, mn, mx)
+    if len(branches) == 1:
+        return branches[0](op)
+    cy = _class_index(Y_AXIS, ny)
+    cx = _class_index(X_AXIS, nx)
+    idx = jnp.int32(0)
+    if cy is not None:
+        idx = idx + cy * len(x_bases)
+    if cx is not None:
+        idx = idx + cx
+    return lax.switch(idx, branches, op)
+
+
+def _flood_distributed(weak_p, strong_p, hl: int, wl: int, engine: str):
+    """Distributed bit-packed hysteresis fixed point on (hl, wl//32) masks.
+
+    Per round: a 2-phase ``ppermute`` halo of one packed word-column
+    (32 px) + one packed word-row, then the complete LOCAL fixed point —
+    inside the VMEM-resident Pallas flood kernel (engine="vmem") or the
+    XLA packed flood (engine="xla") — then a global ``psum`` of the
+    changed-word count as the termination test.  Round count equals the
+    longest inter-device propagation chain; a converged verification round
+    costs one early-exit dilation in the VMEM kernel.
+
+    Correctness: halo bits are a consistent snapshot of true neighbor
+    edge/weak state, so every bit the local flood adds is justified by a
+    real 8-connected weak path from a seed (monotone flood); a globally
+    unchanged round implies the one-step dilation fixed point everywhere,
+    which is exactly the BFS result set (ops/packed.py equivalence).
+    """
+    wd = wl // 32
+    ext_h, ext_w = hl + 2, (wd + 2) * 32
+    # weak halo is loop-invariant: exchange once
+    wk_ext = halo_exchange_2d(weak_p, 1, Y_AXIS, X_AXIS)
+
+    if engine == "vmem":
+        from ..kernels.hysteresis_packed import (
+            hysteresis_packed_pallas_masks)
+
+        def local_flood(e_ext):
+            # carries its own per-shard VMEM capacity guard
+            return hysteresis_packed_pallas_masks(wk_ext, e_ext,
+                                                  ext_h, ext_w)
+    else:
+        from ..ops.packed import hysteresis_packed_masks
+
+        def local_flood(e_ext):
+            edges, _ = hysteresis_packed_masks(
+                wk_ext, e_ext, ext_h, ext_w,
+                inner_dilate=INNER_DILATE_XLA)
+            return edges
+
+    def body(state):
+        e, _ = state
+        e_ext = halo_exchange_2d(e, 1, Y_AXIS, X_AXIS)
+        new = local_flood(e_ext)[1:-1, 1:-1]
+        changed = lax.psum(jnp.sum((new != e).astype(jnp.int32)),
+                           (DATA_AXIS, Y_AXIS, X_AXIS)) > 0
+        return new, changed
+
+    edges, _ = lax.while_loop(lambda s: s[1], body,
+                              (strong_p, jnp.asarray(True)))
+    return edges
+
+
+def _canny_shard_static(img, min_val, max_val, *, kernel_vals, H, W,
+                        hl, wl, ny, nx, flood_engine):
+    """Full static-engine pipeline on a (bl, hl, wl) local block."""
+
+    def one(frame):
+        weak_p, strong_p = _frontend_shard_static(
+            frame, min_val, max_val, kernel_vals=kernel_vals, H=H, W=W,
+            hl=hl, wl=wl, ny=ny, nx=nx)
+        edges_p = _flood_distributed(weak_p, strong_p, hl, wl, flood_engine)
+        return jnp.where(unpack_mask(edges_p, wl), jnp.int16(EDGE),
+                         jnp.int16(NOEDGE))
+
+    # sequential per-frame programs, matching the single-chip batching
+    # choice (models/canny.canny_fn_batched); collectives inside the map
+    # body are uniform across devices (same local batch size everywhere)
+    return lax.map(one, img)
+
+
+# ---------------------------------------------------------------------------
 # the sharded pipeline
 # ---------------------------------------------------------------------------
 
@@ -268,7 +460,8 @@ class ShardedCanny:
     """
 
     def __init__(self, mesh: Mesh, sigma: float, image_shape: tuple[int, int],
-                 hysteresis_steps: int = 8):
+                 hysteresis_steps: int = 8, frontend: str = "auto",
+                 flood: str = "auto"):
         self.mesh = mesh
         self.sigma = sigma
         self.kernel = gaussian_kernel(sigma)
@@ -276,17 +469,47 @@ class ShardedCanny:
         ny = mesh.shape[Y_AXIS]
         nx = mesh.shape[X_AXIS]
         c = len(self.kernel) // 2
-        halo = max(c, hysteresis_steps, 1)
-        # per-shard dims: ceil-divide, then grow to the widest halo any stage
-        # exchanges (ppermute sources a full strip from each neighbor)
-        hl = max(-(-self.H // ny), halo)
-        wl = max(-(-self.W // nx), halo)
-        self.Hp, self.Wp = hl * ny, wl * nx
+        r = c + 2
         kernel_vals = tuple(float(v) for v in self.kernel)
 
-        fn = functools.partial(
-            _canny_shard, kernel_vals=kernel_vals, H=self.H, W=self.W,
-            hysteresis_steps=hysteresis_steps)
+        if frontend not in ("auto", "static", "generic"):
+            raise ValueError(f"unknown frontend: {frontend}")
+        if flood not in ("auto", "vmem", "xla", "generic"):
+            raise ValueError(f"unknown flood engine: {flood}")
+
+        hl = wl = None
+        if frontend in ("auto", "static"):
+            hl, wl = self._static_geometry(ny, nx, r)
+            if hl is None and frontend == "static":
+                raise ValueError(
+                    f"static engine needs every interior block's dependency "
+                    f"cone inside the image; {self.H}x{self.W} over "
+                    f"{ny}x{nx} blocks violates it — use frontend='auto'")
+        self.engine = "static" if hl is not None else "generic"
+
+        if self.engine == "static":
+            self.Hp, self.Wp = hl * ny, wl * nx
+            if flood == "auto":
+                platform = mesh.devices.flat[0].platform
+                flood = "vmem" if platform == "tpu" else "xla"
+            elif flood == "generic":
+                flood = "xla"
+            self.flood = flood
+            fn = functools.partial(
+                _canny_shard_static, kernel_vals=kernel_vals,
+                H=self.H, W=self.W, hl=hl, wl=wl, ny=ny, nx=nx,
+                flood_engine=flood)
+        else:
+            # round-1 generic geometry: per-shard dims ceil-divided, grown
+            # to the widest halo any stage exchanges
+            halo = max(c, hysteresis_steps, 1)
+            hl = max(-(-self.H // ny), halo)
+            wl = max(-(-self.W // nx), halo)
+            self.Hp, self.Wp = hl * ny, wl * nx
+            self.flood = "generic"
+            fn = functools.partial(
+                _canny_shard, kernel_vals=kernel_vals, H=self.H, W=self.W,
+                hysteresis_steps=hysteresis_steps)
         spec = P(DATA_AXIS, Y_AXIS, X_AXIS)
         mapped = jax.shard_map(
             fn, mesh=mesh,
@@ -308,6 +531,30 @@ class ShardedCanny:
 
         self._fn = jax.jit(wrapped)
         self._in_sharding = sharding
+
+    def _static_geometry(self, ny: int, nx: int, r: int):
+        """Block dims (hl, wl) for the static border-class engine, or
+        (None, None) when the class analysis doesn't hold.
+
+        Requirements: blocks at least r wide/tall (halo exchange sources a
+        full strip from each neighbor), block width a multiple of 32 (bit
+        packing never straddles a shard boundary), and — when interior
+        classes exist — every interior block's dependency cone strictly
+        inside the image, so one compiled interior program serves them all
+        (see _axis_classes).  Tries 8-row-aligned blocks first (VPU sublane
+        granularity), then exact ceil-division before giving up.
+        """
+        def up(a, m):
+            return -(-a // m) * m
+
+        for align_h in (8, 1):
+            hl = up(max(cdiv(self.H, ny), r), align_h)
+            wl = up(max(cdiv(self.W, nx), r), 32)
+            ok = ((ny < 3 or (ny - 1) * hl + r <= self.H)
+                  and (nx < 3 or (nx - 1) * wl + r <= self.W))
+            if ok:
+                return hl, wl
+        return None, None
 
     def shard_batch(self, imgs: np.ndarray):
         """Pad a host batch to the shard grid and place it onto the mesh."""

@@ -114,3 +114,43 @@ def test_sharded_call_pads_unpadded_input():
     out = np.asarray(model(img[None], 30, 90))
     ref = golden.canny(img, 1.0, 30, 90)
     np.testing.assert_array_equal(out[0], ref)
+
+
+def test_sharded_engine_selection():
+    """Normal geometry selects the static border-class engine; degenerate
+    block geometry (interior blocks whose dependency cone leaves the
+    image) falls back to the generic traced-offset engine."""
+    mesh = make_mesh(data=1, y=2, x=4)
+    assert ShardedCanny(mesh, 1.0, (128, 256)).engine == "static"
+    assert ShardedCanny(mesh, 2.0, (10, 12)).engine == "generic"
+    with pytest.raises(ValueError):
+        ShardedCanny(mesh, 2.0, (10, 12), frontend="static")
+
+
+@pytest.mark.parametrize("flood", ["xla", "vmem"])
+def test_sharded_static_floods_bitexact(flood):
+    """Both distributed flood engines (XLA packed / VMEM Pallas kernel in
+    interpret mode) are bit-exact vs golden on a spatial mesh."""
+    mesh = make_mesh(data=1, y=2, x=4)
+    H, W = 96, 200
+    model = ShardedCanny(mesh, sigma=1.4, image_shape=(H, W), flood=flood)
+    assert model.engine == "static" and model.flood == flood
+    img = synthetic_image(H, W, seed=3)
+    out = np.asarray(model(model.shard_batch(img[None]), 30, 90))[0]
+    sm = golden.gaussian_blur(img, 1.4)
+    nm = golden.nonmax_suppression(*golden.sobel(sm))
+    np.testing.assert_array_equal(out, golden.hysteresis(nm, 30, 90))
+
+
+def test_sharded_static_matches_generic():
+    """The static border-class engine and the generic traced-offset engine
+    produce identical output (both bit-exact chains, same fixed point)."""
+    mesh = make_mesh(data=1, y=2, x=4)
+    H, W = 66, 120   # odd shape, still statically partitionable at x=4
+    img = synthetic_image(H, W, seed=11)
+    st = ShardedCanny(mesh, 1.0, (H, W), frontend="static")
+    ge = ShardedCanny(mesh, 1.0, (H, W), frontend="generic")
+    assert st.engine == "static" and ge.engine == "generic"
+    a = np.asarray(st(st.shard_batch(img[None]), 0, 90))
+    b = np.asarray(ge(ge.shard_batch(img[None]), 0, 90))
+    np.testing.assert_array_equal(a, b)
