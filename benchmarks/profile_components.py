@@ -23,6 +23,20 @@ for p in (_here, os.path.dirname(_here)):
 import numpy as np
 
 
+def enable_compile_cache():
+    """Persistent compilation cache (shared with bench.py): Mosaic
+    whole-image kernels take minutes to compile on this target; the cache
+    makes re-runs and cross-experiment A/Bs tractable."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(_here), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def log(*a):
     print(*a, flush=True)
 
