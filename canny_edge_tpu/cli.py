@@ -60,6 +60,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--mesh", default=None,
                    help="sharded mesh as DATAxYxX, e.g. 1x2x4")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="device prefetch depth: batches staged onto the "
+                        "device ahead of compute (H2D rides under compute)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the stream cursor in --out-dir, "
+                        "skipping batches a previous (killed) run completed")
+    p.add_argument("--native-feeder", action="store_true",
+                   help="source frames through the C++ ring-buffer feeder "
+                        "(synthetic: and raw8: inputs; falls back to the "
+                        "Python source if the native library is "
+                        "unavailable)")
     p.add_argument("--time", action="store_true", dest="timeit",
                    help="print per-stage timing (reference's Execution time"
                         " print, structured)")
@@ -101,117 +112,192 @@ def _apply_platform_env() -> None:
             pass  # backend already initialized; nothing to do
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-    validate_args(args)
-    _apply_platform_env()
+def open_frames(args):
+    """Frame iterator for the CLI input spec.
 
-    from .io import imageio, video
+    Supports everything io.video.open_source does, plus ``raw8:PATH:HxW[xN]``
+    (headerless uint8 frames read by the C++ ring-buffer feeder) and
+    ``--native-feeder`` for synthetic sources (runtime.FrameFeeder —
+    producer thread + zero-copy ring buffer instead of per-frame Python).
+    """
+    from .io import video
 
+    spec = args.input
+    if spec.startswith("raw8:"):
+        from . import runtime
+
+        if not runtime.available():
+            raise SystemExit("ERROR: raw8 input needs the native feeder "
+                             "(C++ toolchain unavailable)")
+        _, path, dims = spec.split(":", 2)
+        d = dims.split("x")
+        h, w = int(d[0]), int(d[1])
+        n = int(d[2]) if len(d) > 2 else 0
+        if args.max_frames is not None:
+            n = min(n, args.max_frames) if n else args.max_frames
+        return _feeder_frames(runtime.FrameFeeder(
+            h, w, mode=runtime.MODE_RAW8, path=path, count=n))
+    if spec.startswith("synthetic:") and args.native_feeder:
+        from . import runtime
+
+        if runtime.available():
+            dims = spec.split(":", 1)[1].split("x")
+            h, w = int(dims[0]), int(dims[1])
+            n = int(dims[2]) if len(dims) > 2 else 1
+            if args.max_frames is not None:
+                n = min(n, args.max_frames)
+            return _feeder_frames(runtime.FrameFeeder(
+                h, w, mode=runtime.MODE_SYNTHETIC, count=n))
+    return video.open_source(spec, args.max_frames)
+
+
+def _feeder_frames(feeder):
+    """Iterate a FrameFeeder, copying each zero-copy view (the view is
+    only valid until the next acquire; downstream batching/prefetch is
+    asynchronous)."""
+    with feeder:
+        for frame in feeder:
+            yield frame.copy()
+
+
+def build_config(args):
+    """The single internal config object, constructed from argv (the
+    TPU-native replacement for the reference's #define/argv scatter —
+    config.CannyConfig docstring)."""
+    from .config import CannyConfig
+
+    mesh_d = mesh_y = mesh_x = 1
+    if args.mesh:
+        mesh_d, mesh_y, mesh_x = (int(v) for v in args.mesh.split("x"))
+    cursor_path = (os.path.join(args.out_dir, ".canny_cursor.json")
+                   if args.resume else None)
     try:
-        frames = video.open_source(args.input, args.max_frames)
-    except FileNotFoundError as e:
+        return CannyConfig(
+            sigma=args.sigma, min_val=args.min_val, max_val=args.max_val,
+            backend=args.backend, hysteresis_mode=args.hysteresis,
+            batch_size=args.batch, mesh_data=mesh_d, mesh_y=mesh_y,
+            mesh_x=mesh_x, prefetch_depth=args.prefetch,
+            checkpoint_path=cursor_path)
+    except ValueError as e:
         raise SystemExit(f"ERROR: {e}")
 
-    if args.backend == "golden":
+
+def _make_run_batch(cfg, first_frame):
+    """Compile the batch pipeline for ``cfg``; returns (run_batch,
+    device_put) for the StreamingRunner."""
+    if cfg.backend == "golden":
         from . import golden
 
         hyst = (golden.hysteresis_strict
-                if args.hysteresis == "strict-reference"
+                if cfg.hysteresis_mode == "strict-reference"
                 else golden.hysteresis)
 
         def run_batch(batch):
             outs = []
             for f in batch:
-                sm = golden.gaussian_blur(f, args.sigma)
+                sm = golden.gaussian_blur(f, cfg.sigma)
                 nm = golden.nonmax_suppression(*golden.sobel(sm))
-                outs.append(hyst(nm, args.min_val, args.max_val))
+                outs.append(hyst(nm, cfg.min_val, cfg.max_val))
             return np.stack(outs)
-    elif args.backend == "sharded":
-        import jax
 
+        return run_batch, lambda b: b
+    if cfg.backend == "sharded":
         from .parallel import ShardedCanny, make_mesh
 
-        first = next(iter(frames))
-        frames = _chain_first(first, frames)
-        if args.mesh:
-            d, y, x = (int(v) for v in args.mesh.split("x"))
-            mesh = make_mesh(data=d, y=y, x=x)
+        if (cfg.mesh_data, cfg.mesh_y, cfg.mesh_x) != (1, 1, 1):
+            mesh = make_mesh(data=cfg.mesh_data, y=cfg.mesh_y, x=cfg.mesh_x)
         else:
             mesh = make_mesh()
         ndata = mesh.shape["data"]
-        if args.batch % ndata:
-            raise SystemExit(f"ERROR: --batch {args.batch} must be a "
+        if cfg.batch_size % ndata:
+            raise SystemExit(f"ERROR: --batch {cfg.batch_size} must be a "
                              f"multiple of the mesh data axis ({ndata})")
-        model = ShardedCanny(mesh, args.sigma, first.shape)
+        model = ShardedCanny(mesh, cfg.sigma, first_frame.shape)
+        return (lambda b: model(b, cfg.min_val, cfg.max_val),
+                model.shard_batch)
+    from .models import CannyTPU
 
-        def run_batch(batch):
-            # pad short final batches to the compiled batch size (keeps the
-            # data-axis placement valid and avoids a recompile per distinct
-            # remainder), then trim the zero frames from the output
-            n_real = batch.shape[0]
-            if n_real != args.batch:
-                pad = np.zeros((args.batch - n_real,) + batch.shape[1:],
-                               batch.dtype)
-                batch = np.concatenate([batch, pad])
-            out = np.asarray(model(model.shard_batch(batch),
-                                   args.min_val, args.max_val))
-            return out[:n_real]
-    else:
-        from .models import CannyTPU
+    model = CannyTPU(sigma=cfg.sigma, backend=cfg.backend,
+                     hysteresis_mode=cfg.hysteresis_mode)
+    import jax
 
-        model = CannyTPU(sigma=args.sigma, backend=args.backend,
-                         hysteresis_mode=args.hysteresis)
+    def run_batch(batch):
+        if batch.shape[0] == 1:
+            return model(batch[0], cfg.min_val, cfg.max_val)[None]
+        return model.batch(batch, cfg.min_val, cfg.max_val)
 
-        def run_batch(batch):
-            if batch.shape[0] == 1:
-                return np.asarray(model(batch[0], args.min_val,
-                                        args.max_val))[None]
-            return np.asarray(model.batch(batch, args.min_val, args.max_val))
+    return run_batch, jax.device_put
 
-    n_out = 0
-    total_px = 0
-    profiled_frame = None
-    t0 = time.perf_counter()
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    validate_args(args)
+    _apply_platform_env()
+    cfg = build_config(args)
+
+    from .io import imageio, video
+    from .parallel.streaming import StreamCursor, StreamingRunner
+
+    try:
+        frames = open_frames(args)
+        first = next(iter(frames))
+    except FileNotFoundError as e:
+        raise SystemExit(f"ERROR: {e}")
+    except StopIteration:
+        raise SystemExit("ERROR: input source produced no frames")
+    frames = _chain_first(first, frames)
+
+    run_batch, device_put = _make_run_batch(cfg, first)
+
     single_image = (os.path.splitext(args.input)[1].lower()
                     in video.IMAGE_EXTS and args.output)
-    for bi, batch in enumerate(video.batched(frames, args.batch)):
-        edges = run_batch(batch)
-        total_px += batch.size
-        if profiled_frame is None:
-            profiled_frame = batch[0]
+    saved_steps = [False]
+
+    def on_result(bi, edges):
         for fi in range(edges.shape[0]):
             if single_image:
                 out_path = args.output
             else:
+                idx = bi * cfg.batch_size + fi
                 out_path = os.path.join(args.out_dir,
-                                        f"edges_{n_out:06d}.png")
-            imageio.save_png(out_path, edges[fi].astype(np.uint8))
-            n_out += 1
-        if args.save_steps and bi == 0:
-            _save_steps(args, batch[0])
+                                        f"edges_{idx:06d}.png")
+            imageio.save_png(out_path, np.asarray(edges[fi]).astype(np.uint8))
+        if args.save_steps and not saved_steps[0]:
+            saved_steps[0] = True
+            _save_steps(args, first)
+
+    if cfg.checkpoint_path:
+        os.makedirs(args.out_dir, exist_ok=True)
+    runner = StreamingRunner(
+        run_batch, batch_size=cfg.batch_size,
+        prefetch_depth=cfg.prefetch_depth,
+        cursor=StreamCursor(cfg.checkpoint_path),
+        device_put=device_put)
+    t0 = time.perf_counter()
+    rstats = runner.run(frames, on_result=on_result)
     elapsed = time.perf_counter() - t0
 
     stats = {
-        "frames": n_out,
+        "backend": cfg.backend,
+        "config": cfg.to_dict(),
         "seconds": round(elapsed, 4),
-        "mp_per_s": round(total_px / 1e6 / elapsed, 2),
-        "backend": args.backend,
+        **rstats.to_dict(),
     }
     report = None
-    if args.timeit and profiled_frame is not None:
+    if args.timeit:
         from .utils.timing import profile_stages
 
         # profile the actual first input frame at its actual size
-        report = profile_stages(profiled_frame, args.sigma, args.min_val,
-                                args.max_val)
+        report = profile_stages(first, cfg.sigma, cfg.min_val, cfg.max_val)
         stats["stages"] = report.json()
     if args.json:
         print(json.dumps(stats))
     else:
         # the reference prints "Execution time: <s> seconds" (utils.cpp:489)
         print(f"Execution time: {elapsed:.6f} seconds "
-              f"({stats['frames']} frames, {stats['mp_per_s']} MP/s)")
+              f"({stats['frames']} frames, {stats['mp_per_s']} MP/s"
+              + (f", {stats['skipped_batches']} batches resumed-past"
+                 if stats["skipped_batches"] else "") + ")")
     if report is not None:
         print(report.table(), file=sys.stderr)
     return 0

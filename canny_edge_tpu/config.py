@@ -21,6 +21,7 @@ class CannyConfig:
 
     # execution
     backend: str = "fused"            # fused | xla | pallas | sharded | golden
+    hysteresis_mode: str = "component"  # component | strict-reference
     hysteresis_steps: int = 8         # dilations per convergence check (xla)
     tile: tuple[int, int] = (128, 512)  # pallas VMEM tile
 
@@ -46,6 +47,13 @@ class CannyConfig:
         if self.backend not in ("fused", "xla", "pallas", "sharded",
                                 "golden"):
             raise ValueError(f"unknown backend: {self.backend}")
+        if self.hysteresis_mode not in ("component", "strict-reference"):
+            raise ValueError(
+                f"unknown hysteresis mode: {self.hysteresis_mode}")
+        if self.batch_size < 1:
+            raise ValueError("batch size must be >= 1")
+        if self.prefetch_depth < 1:
+            raise ValueError("prefetch depth must be >= 1")
 
     def to_dict(self) -> dict:
         return asdict(self)

@@ -183,7 +183,8 @@ class StreamingRunner:
 
     def _finalize(self, pending, on_result, stats: StreamStats):
         bi, real, shape, result = pending
-        host = np.asarray(result)
+        # trim the shape-stabilizing zero padding before handing results out
+        host = np.asarray(result)[:real]
         if on_result is not None:
             on_result(bi, host)
         stats.batches += 1

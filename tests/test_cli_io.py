@@ -118,3 +118,86 @@ def test_cli_sharded_backend(tmp_path):
     edges = imageio.load_grayscale(str(tmp_path / "out" / outs[0]))
     ref = golden.canny(_syn(64, 128, seed=0), 1.0, 30, 90).astype(np.uint8)
     np.testing.assert_array_equal(edges, ref)
+
+
+def test_cli_resume_skips_completed_batches(tmp_path):
+    """VERDICT r2 item 5: a killed-and-restarted CLI streaming run resumes
+    from the cursor and skips completed batches.
+
+    Run 1 processes the first 6 frames (3 batches) with --resume; run 2
+    sees the full 12-frame stream and must skip those 3 batches, producing
+    only the remaining outputs at the correct global indices."""
+    import json as _json
+
+    out_dir = str(tmp_path / "out")
+    base = ["synthetic:24x32x12", "1.0", "40", "160", "--backend", "golden",
+            "--batch", "2", "--out-dir", out_dir, "--resume", "--json"]
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(base[:1] + ["--max-frames", "6"] + base[1:])
+    assert rc == 0
+    s1 = _json.loads(buf.getvalue())
+    assert s1["frames"] == 6 and s1["skipped_batches"] == 0
+    done = sorted(os.listdir(out_dir))
+    assert [f for f in done if f.endswith(".png")] == [
+        f"edges_{i:06d}.png" for i in range(6)]
+
+    # "restart": same command, full stream
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(base)
+    assert rc == 0
+    s2 = _json.loads(buf.getvalue())
+    assert s2["skipped_batches"] == 3
+    assert s2["frames"] == 6  # only the remaining frames were processed
+    pngs = sorted(f for f in os.listdir(out_dir) if f.endswith(".png"))
+    assert pngs == [f"edges_{i:06d}.png" for i in range(12)]
+
+
+def test_cli_prefetch_and_config(tmp_path):
+    """--prefetch threads through CannyConfig into the streaming engine;
+    the config block is embedded in --json output."""
+    import contextlib
+    import io as _io
+    import json as _json
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["synthetic:24x32x4", "1.0", "40", "160",
+                       "--backend", "golden", "--batch", "2",
+                       "--prefetch", "3", "--out-dir",
+                       str(tmp_path / "o"), "--json"])
+    assert rc == 0
+    stats = _json.loads(buf.getvalue())
+    assert stats["config"]["prefetch_depth"] == 3
+    assert stats["config"]["backend"] == "golden"
+    assert stats["frames"] == 4
+
+
+def test_cli_raw8_native_feeder(tmp_path):
+    """raw8:PATH:HxW input sources frames through the C++ feeder."""
+    from canny_edge_tpu import runtime
+
+    if not runtime.available():
+        pytest.skip("native feeder unavailable")
+    h, w, n = 16, 24, 5
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    raw = str(tmp_path / "frames.raw")
+    frames.tofile(raw)
+    out_dir = str(tmp_path / "out")
+    rc = cli_main([f"raw8:{raw}:{h}x{w}x{n}", "1.0", "40", "160",
+                   "--backend", "golden", "--batch", "2",
+                   "--out-dir", out_dir])
+    assert rc == 0
+    pngs = sorted(f for f in os.listdir(out_dir) if f.endswith(".png"))
+    assert len(pngs) == n
+    # bit-exact vs golden on the first frame
+    sm = golden.gaussian_blur(frames[0], 1.0)
+    nm = golden.nonmax_suppression(*golden.sobel(sm))
+    ref = golden.hysteresis(nm, 40, 160)
+    got = imageio.load_grayscale(os.path.join(out_dir, pngs[0]))
+    np.testing.assert_array_equal(got.astype(np.int16), ref)
