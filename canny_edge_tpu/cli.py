@@ -148,6 +148,19 @@ def open_frames(args):
                 n = min(n, args.max_frames)
             return _feeder_frames(runtime.FrameFeeder(
                 h, w, mode=runtime.MODE_SYNTHETIC, count=n))
+    if os.path.isdir(spec) and args.native_feeder:
+        from . import runtime
+
+        # the C++ feeder reads the frame_%06d.pgm sequence convention;
+        # other directory layouts fall back to the Python source below
+        first_pgm = os.path.join(spec, "frame_000000.pgm")
+        if os.path.exists(first_pgm) and runtime.available():
+            from .io.imageio import load_grayscale
+
+            h, w = load_grayscale(first_pgm).shape
+            n = args.max_frames or 0
+            return _feeder_frames(runtime.FrameFeeder(
+                h, w, mode=runtime.MODE_PGM_DIR, path=spec, count=n))
     return video.open_source(spec, args.max_frames)
 
 

@@ -201,3 +201,32 @@ def test_cli_raw8_native_feeder(tmp_path):
     ref = golden.hysteresis(nm, 40, 160)
     got = imageio.load_grayscale(os.path.join(out_dir, pngs[0]))
     np.testing.assert_array_equal(got.astype(np.int16), ref)
+
+
+def test_cli_pgm_dir_native_feeder(tmp_path):
+    """A directory of PGMs with --native-feeder streams through the C++
+    feeder (MODE_PGM_DIR)."""
+    from canny_edge_tpu import runtime
+
+    if not runtime.available():
+        pytest.skip("native feeder unavailable")
+    h, w, n = 16, 24, 3
+    rng = np.random.default_rng(1)
+    src = tmp_path / "pgms"
+    src.mkdir()
+    frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    for i, f in enumerate(frames):
+        with open(src / f"frame_{i:06d}.pgm", "wb") as fh:
+            fh.write(f"P5\n{w} {h}\n255\n".encode())
+            fh.write(f.tobytes())
+    out_dir = str(tmp_path / "out")
+    rc = cli_main([str(src), "1.0", "40", "160", "--backend", "golden",
+                   "--native-feeder", "--out-dir", out_dir])
+    assert rc == 0
+    pngs = sorted(f for f in os.listdir(out_dir) if f.endswith(".png"))
+    assert len(pngs) == n
+    sm = golden.gaussian_blur(frames[0], 1.0)
+    nm = golden.nonmax_suppression(*golden.sobel(sm))
+    got = imageio.load_grayscale(os.path.join(out_dir, pngs[0]))
+    np.testing.assert_array_equal(got.astype(np.int16),
+                                  golden.hysteresis(nm, 40, 160))
