@@ -81,9 +81,58 @@ def audit_hlo_text(txt: str, pixels: int) -> dict:
                                    key=lambda kv: -kv[1])[:20])}
 
 
+_DTYPE_BYTES = {"pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2,
+                "f16": 2, "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8,
+                "f64": 8}
+
+
+def hbm_materialization_bytes(txt: str, pixels: int) -> dict:
+    """Actual HBM write traffic per pixel: bytes produced by every
+    top-level (ENTRY) instruction of the optimized HLO.
+
+    Each ENTRY-computation instruction that is not a parameter/constant
+    materializes its result in HBM (fusion internals stay in registers /
+    VMEM).  The roofline's memory floor assumes perfect fusion (inputs
+    read once + outputs written once); this measures how far the actual
+    fusion decomposition is from that — if materialized bytes dominate,
+    the stage is HBM-bound in practice regardless of its ALU count.
+    """
+    in_entry = False
+    write_b = 0.0
+    n_insts = 0
+    for line in txt.splitlines():
+        ls = line.strip()
+        if ls.startswith("ENTRY "):
+            in_entry = True
+            continue
+        if in_entry and ls.startswith("}"):
+            in_entry = False
+            continue
+        if not in_entry:
+            continue
+        m = _SHAPE.search(ls)
+        mo = _OP.search(ls)
+        if not m or not mo:
+            continue
+        if mo.group(1) in ("parameter", "constant", "get-tuple-element",
+                          "tuple", "bitcast"):
+            continue
+        n = 1
+        if m.group(2):
+            for d in m.group(2).split(","):
+                n *= int(d)
+        write_b += n * _DTYPE_BYTES.get(m.group(1), 4)
+        n_insts += 1
+    return {"hbm_write_bytes_per_px": round(write_b / pixels, 2),
+            "entry_instructions": n_insts}
+
+
 def audit_compiled(fn, *args, pixels: int) -> dict:
     """Audit a jittable fn's optimized HLO (compiles it if not cached)."""
     import jax
 
     compiled = jax.jit(fn).lower(*args).compile()
-    return audit_hlo_text(compiled.as_text(), pixels)
+    txt = compiled.as_text()
+    rep = audit_hlo_text(txt, pixels)
+    rep.update(hbm_materialization_bytes(txt, pixels))
+    return rep

@@ -82,3 +82,23 @@ def test_hlo_opcount_audit():
     # free in practice, which is why movement is reported, not added to
     # the ALU floor)
     assert rep["buckets"].get("movement", 0) <= 4, rep
+
+
+def test_roofline_audited_override():
+    """stage_rooflines uses the HLO-audited ALU count for the compute
+    floor when provided, and embeds the bucket breakdown in the row."""
+    from canny_edge_tpu.utils.roofline import stage_rooflines
+
+    audited = {"frontend": {"buckets": {"alu": 140.0, "movement": 90.0}}}
+    rows = stage_rooflines(1_000_000, {"frontend": 1e-3}, "TPU v5 lite",
+                           backend="fused", audited_ops=audited)
+    (row,) = rows
+    assert row["ops_per_px_source"] == "hlo_audit_alu"
+    assert row["hlo_audit"]["alu"] == 140.0
+    # floor derived from 140 ops/px, not the hand model's 110
+    expect_ms = 140.0 * 1_000_000 / 3.85e12 * 1e3
+    assert abs(row["compute_sol_ms"] - round(expect_ms, 4)) < 1e-6
+    # without the audit the hand model is used and no audit block appears
+    (row2,) = stage_rooflines(1_000_000, {"frontend": 1e-3}, "TPU v5 lite",
+                              backend="fused")
+    assert "hlo_audit" not in row2 and row2["est_ops_per_px"] == 110
