@@ -86,6 +86,13 @@ def _auto_tile_h(H: int, W: int, r: int) -> int:
     H8 = _round_up(H, 8)
     if th_max >= H8:
         return H8          # one invocation, zero padded-row waste
+    # Tiled mode: Mosaic's scoped-vmem accounting measures up to ~1.21x
+    # the 11-temporary model at wide tiles (4K th=544 predicts 93 MiB,
+    # Mosaic reports 112.7 MiB), so size tiles with a 14-temporary model
+    # to stay under kernel_vmem_limit with margin.  Whole-image shapes up
+    # to 1080p are empirically validated against the 11-temp model above.
+    th_max = budget // (14 * 4 * (W + 2 * rc)) - 2 * _round_up(r, 8)
+    th_max = max(8, (th_max // 8) * 8)
     nty = _cdiv(H8, th_max)
     return _round_up(_cdiv(H8, nty), 8)  # balanced tile heights
 

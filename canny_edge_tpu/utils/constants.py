@@ -50,7 +50,15 @@ def frontend_vmem_budget(device_kind: str | None = None) -> int:
 
 def kernel_vmem_limit(device_kind: str | None = None) -> int:
     """vmem_limit_bytes passed to pltpu.CompilerParams for whole-image
-    VMEM-resident kernels (front end, packed flood)."""
+    VMEM-resident kernels (front end, packed flood).
+
+    Keep the 16 MiB reserve: limits of 114 MiB and above route large
+    Mosaic compiles into this environment's chipless AOT helper, which
+    crashes (measured 2026-08-19: the 4K frontend compiles cleanly or
+    reports a proper scoped-vmem error at 112 MiB, but helper-crashes at
+    114/120 MiB).  Kernels must instead be sized to fit — see
+    kernels/frontend._auto_tile_h's tiled-mode safety factor.
+    """
     return vmem_bytes(device_kind) - 16 * MIB
 
 
