@@ -15,6 +15,19 @@ assembles 32-bit words with zero arithmetic.  Identical output words
 (little-endian byte order; gated below), ~1/4 the pack traffic.
 
 Run: python benchmarks/exp_pack.py
+
+MEASURED (v5e 1080p sigma=1.4, 2026-08-19):
+    fe+pack (production)  0.173 ms
+    fe+u8pack             0.196 ms   <- REFUTED: the byte-staged pack's
+                                        extra reshape/bitcast relayouts
+                                        cost more than the 4x traffic cut
+    fe nm-i16 (no pack)   0.149 ms   -> the threshold+pack tail is worth
+                                        0.024 ms (14% of the frontend)
+CONCLUSION: the u32 pack stays.  Moving packing into the VMEM flood
+kernel would need a Mosaic cross-lane 32->1 reduction, the exact op class
+exp_nms.py measured as Mosaic's weak spot; the 0.024 ms tail is the
+accepted cost of never materializing nm in HBM (which the r2 A/B showed
+is the better end-to-end trade).
 """
 
 from __future__ import annotations
