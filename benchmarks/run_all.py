@@ -275,8 +275,13 @@ def main():
             feeder = runtime.FrameFeeder(2160, 3840,
                                          mode=runtime.MODE_SYNTHETIC,
                                          count=nf)
+            # fresh runner: 5a's cursor has already advanced past 25
+            # batches and would silently "resume" past this whole stream
+            runner5c = StreamingRunner(
+                lambda bt: model._batched(bt, jnp.int32(30), jnp.int32(90)),
+                batch_size=4, prefetch_depth=2)
             with feeder:
-                stats = runner.run(f.copy() for f in feeder)
+                stats = runner5c.run(f.copy() for f in feeder)
             results["configs"].append(
                 {"config": f"stream {nf}x4K s1.4 (C++ feeder-sourced)",
                  "backend": model.backend,

@@ -317,11 +317,32 @@ def _frontend_shard_static(img, mn, mx, *, kernel_vals, H, W, hl, wl,
         def branch(op):
             x, mn, mx = op
             if nx == 1:
-                # the block spans the full image width: the row-banded
+                # The block spans the full image width: the row-banded
                 # select-free program applies directly (its packing tail
-                # emits ceil(W/32) words; pad to the block's word count)
-                weak, strong = frontend_nm_static(
-                    x, gr0, hl, H, W, kernel_vals, thresholds=(mn, mx))
+                # emits ceil(W/32) words; pad to the block's word count).
+                # Tall blocks split into row bands with static per-band
+                # offsets — XLA:TPU per-pixel stencil cost grows sharply
+                # with program height (ops/window.frontend_nm_xla uses the
+                # identical 1440/720 policy: 4K whole-image 1.08 ms vs
+                # banded 0.66 ms on v5e, benchmarks/exp_bands.py).
+                nb = 1 if hl <= 1440 else cdiv(hl, 720)
+                bh = -(-cdiv(hl, nb) // 8) * 8
+                ws, ss = [], []
+                for k in range(nb):
+                    r0 = k * bh
+                    nr = min(bh, hl - r0)
+                    if nr <= 0:
+                        break
+                    wk, sk = frontend_nm_static(
+                        x[r0:r0 + nr + 2 * r, :], gr0 + r0, nr, H, W,
+                        kernel_vals, thresholds=(mn, mx))
+                    ws.append(wk)
+                    ss.append(sk)
+                weak = jnp.concatenate(ws, axis=0) if len(ws) > 1 else ws[0]
+                strong = jnp.concatenate(ss, axis=0) if len(ss) > 1 else ss[0]
+                if weak.shape[0] < hl:  # nb*bh rounding shortfall
+                    padr = ((0, hl - weak.shape[0]), (0, 0))
+                    weak, strong = jnp.pad(weak, padr), jnp.pad(strong, padr)
                 padw = wd - weak.shape[1]
                 if padw:
                     weak = jnp.pad(weak, ((0, 0), (0, padw)))
@@ -425,7 +446,11 @@ def _canny_shard_static(img, min_val, max_val, *, kernel_vals, H, W,
 
     # sequential per-frame programs, matching the single-chip batching
     # choice (models/canny.canny_fn_batched); collectives inside the map
-    # body are uniform across devices (same local batch size everywhere)
+    # body are uniform across devices (same local batch size everywhere).
+    # A single-frame local batch skips the map's dynamic-slice/update
+    # wrappers around the full-size arrays entirely.
+    if img.shape[0] == 1:
+        return one(img[0])[None]
     return lax.map(one, img)
 
 

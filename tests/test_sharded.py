@@ -154,3 +154,18 @@ def test_sharded_static_matches_generic():
     a = np.asarray(st(st.shard_batch(img[None]), 0, 90))
     b = np.asarray(ge(ge.shard_batch(img[None]), 0, 90))
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_tall_block_banded_frontend():
+    """Blocks taller than 1440 rows split into statically-offset row bands
+    inside the border-class branch (the 4K-over-ICI configuration);
+    bit-exact vs golden."""
+    mesh = make_mesh(jax.devices()[:1], data=1, y=1, x=1)
+    H, W = 1600, 96
+    model = ShardedCanny(mesh, sigma=1.4, image_shape=(H, W))
+    assert model.engine == "static"
+    img = synthetic_image(H, W, seed=5)
+    out = np.asarray(model(model.shard_batch(img[None]), 30, 90))[0]
+    sm = golden.gaussian_blur(img, 1.4)
+    nm = golden.nonmax_suppression(*golden.sobel(sm))
+    np.testing.assert_array_equal(out, golden.hysteresis(nm, 30, 90))
