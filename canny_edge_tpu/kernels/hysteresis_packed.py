@@ -229,9 +229,15 @@ def hysteresis_packed_pallas_masks(weak_p, strong_p, height: int, width: int,
     Shapes whose flood working set exceeds the VMEM budget (8K frames and
     beyond — see :func:`flood_fits_vmem`) automatically fall back to the
     XLA packed flood (ops.packed), which streams the masks through HBM:
-    same fixed point, same result, no compile-time cliff.
+    same fixed point, same result, no compile-time cliff.  Degenerate
+    shapes (a single packed word column or a single row) take the same
+    fallback: their word/row shift helpers produce zero-size slices,
+    which Mosaic cannot lower ("Invalid type" on slice, observed on v5e
+    at H=1 or W<=32), and a kernel launch would cost more than the XLA
+    flood on such sizes anyway.
     """
-    if not flood_fits_vmem(height, width, vmem_budget):
+    if (not flood_fits_vmem(height, width, vmem_budget)
+            or height < 2 or cdiv(width, 32) < 2):
         from ..ops.packed import hysteresis_packed_masks
 
         edges, _ = hysteresis_packed_masks(weak_p, strong_p, height, width,
