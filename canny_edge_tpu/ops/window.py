@@ -33,6 +33,13 @@ from .numerics import (div_by_near_one, exact_div_by_vector, isqrt_f32,
 
 _NMS_OOB = -32768
 
+# Experiment knobs (benchmarks/exp_hbm.py): which blur-pass axes stitch the
+# renormalization division via tile-aligned concatenate instead of
+# dynamic_update_slice, and whether the padded input window is pre-converted
+# to f32.  Production values are the measured winners on v5e.
+_DIV_CONCAT_AXES: frozenset = frozenset()
+_PAD_F32: bool = True
+
 
 def _nms_maxc(gxc, gyc, m0, nb):
     """Max-cascade NMS tail: ``keep = m0 > max(direction neighbour pair)``.
@@ -158,7 +165,7 @@ def _host_cnt(base: int, n: int, limit: int, kernel) -> np.ndarray:
     return cnt
 
 
-def _split_div_static(acc, cnt_np, s, axis):
+def _split_div_static(acc, cnt_np, s, axis, post=None):
     """Renormalization division against a *host-constant* count vector.
 
     Interior (cnt == full kernel sum ``s``, within 1 ulp of 1.0 for every
@@ -166,8 +173,15 @@ def _split_div_static(acc, cnt_np, s, axis):
     static edge slices use the 2-iteration fixer seeded by the host's
     correctly rounded reciprocal (IEEE hardware division on the host), so
     no reciprocal is ever computed on device.
+
+    ``post``: optional elementwise epilogue (e.g. floor + narrowing cast)
+    applied *per piece* so it fuses into each piece's producer instead of
+    becoming its own full-size HBM array (the round-3 program materialized
+    a bare full-size ``floor``; benchmarks/exp_hbm.py).
     """
     n = cnt_np.shape[0]
+    if post is None:
+        post = lambda v: v  # noqa: E731
 
     def general(a, cv):
         # rows/cols whose whole tap span is outside the image have
@@ -186,28 +200,46 @@ def _split_div_static(acc, cnt_np, s, axis):
     wr = int(np.argmax(interior[::-1])) if interior.any() else 0
     if (near_one_ulp_offset(s) is None or not interior.any()
             or not interior[wl:n - wr].all()):
-        return general(acc, cnt_np)
-    # Near-one division over the full array (3 integer ops/pixel; the
-    # edge strip values it produces are discarded), then overwrite the
-    # edges in place.  dynamic_update_slice instead of a 3-way concatenate:
-    # a lane-axis concatenate at a non-128-aligned boundary relayouts the
-    # whole array (~0.05 ms at 1080p — a third of the front end).  When the
-    # array is register-tile aligned, the edge blocks are widened to the
-    # tile granule (lanes 128 / sublanes 8): the extra fixer work on
-    # interior columns is cheaper than a misaligned narrow slice+update
-    # (0.028 -> 0.022 ms per pass measured), and the fixer result equals
-    # the near-one result wherever cnt == s (both correctly rounded).
+        return post(general(acc, cnt_np))
     granule = 128 if axis == 1 else 8
-    if n % granule == 0 and n >= 2 * granule:
+    aligned = n % granule == 0 and n >= 2 * granule
+    if aligned:
+        # widen the edge blocks to the register-tile granule (lanes 128 /
+        # sublanes 8): the extra fixer work on interior rows/cols is
+        # cheaper than a misaligned narrow slice+update, and the fixer
+        # result equals the near-one result wherever cnt == s (both
+        # correctly rounded)
         wl = -(-wl // granule) * granule
         wr = -(-wr // granule) * granule
-    out = div_by_near_one(acc, s)
+    if aligned and axis in _DIV_CONCAT_AXES:
+        # tile-aligned 3-piece concatenate: one materialized array per
+        # pass instead of near-one-full + a full-size fusion per DUS edge
+        # stitch.  Gated per axis: measured SLOWER on the lane axis even
+        # tile-aligned (0.158 -> 0.190 ms whole-frontend, exp_hbm.py) —
+        # XLA lowers the lane concat poorly — kept as an experiment knob.
+        def cut(lo, hi):
+            return acc[:, lo:hi] if axis == 1 else acc[lo:hi]
+
+        pieces = []
+        if wl:
+            pieces.append(post(general(cut(0, wl), cnt_np[:wl])))
+        pieces.append(post(div_by_near_one(cut(wl, n - wr), s)))
+        if wr:
+            pieces.append(post(general(cut(n - wr, n), cnt_np[n - wr:])))
+        if len(pieces) == 1:
+            return pieces[0]
+        return jnp.concatenate(pieces, axis=axis)
+    # near-one over the full array (3 integer ops/pixel; the edge strip
+    # values it produces are discarded), then overwrite the edges in place
+    # with dynamic_update_slice
+    out = post(div_by_near_one(acc, s))
     if wl:
-        left = general(acc[:, :wl] if axis == 1 else acc[:wl], cnt_np[:wl])
+        left = post(general(acc[:, :wl] if axis == 1 else acc[:wl],
+                            cnt_np[:wl]))
         out = jax.lax.dynamic_update_slice(out, left, (0, 0))
     if wr:
-        right = general(acc[:, n - wr:] if axis == 1 else acc[n - wr:],
-                        cnt_np[n - wr:])
+        right = post(general(acc[:, n - wr:] if axis == 1 else acc[n - wr:],
+                             cnt_np[n - wr:]))
         start = (0, n - wr) if axis == 1 else (n - wr, 0)
         out = jax.lax.dynamic_update_slice(out, right, start)
     return out
@@ -383,9 +415,12 @@ def frontend_nm_static(x, row0: int, nrows: int, H: int, W: int,
                        kernel_vals, thresholds=None):
     """Select-free static front end for output rows [row0, row0+nrows).
 
-    ``x``: float32 ``(nrows + 2r, W + 2r)`` window holding global rows
+    ``x``: ``(nrows + 2r, W + 2r)`` window holding global rows
     ``[row0-r, row0+nrows+r)`` x cols ``[-r, W+r)``, zero beyond the image
-    (the same window layout :func:`window_nm` takes).  ``row0`` must be a
+    (the same window layout :func:`window_nm` takes).  Any dtype whose
+    values convert exactly to float32 (uint8 preferred: a padded uint8
+    image costs 1 B/px of HBM instead of 4 — the taps convert inside the
+    accumulation fusion).  ``row0`` must be a
     Python int; every border case is resolved at trace time into static
     slices and single-row/col pads, so the traced program contains **no
     border selects and no mask compares at all** — the reason this runs at
@@ -437,8 +472,14 @@ def frontend_nm_static(x, row0: int, nrows: int, H: int, W: int,
     acc = jnp.zeros((nsm, W), jnp.float32)
     for t in range(window):
         acc = acc + mul_const_f32(temp[t0 + t:t0 + t + nsm, :], kernel[t])
-    sm = jnp.floor(_split_div_static(acc, _host_cnt(sm_lo, nsm, H, kernel),
-                                     s, axis=0))
+    # floor fuses into the division pieces (the round-3 program
+    # materialized a separate full-size floor array).  sm stays f32:
+    # narrowing it to uint8 was measured SLOWER (0.158 -> 0.210 ms) — the
+    # u8 concats and back-converts materialize as their own full-size
+    # arrays and the sub-word tiling costs VPU relayout work, the same
+    # failure mode as the refuted byte-staged packing (exp_pack.py).
+    sm = _split_div_static(acc, _host_cnt(sm_lo, nsm, H, kernel), s, axis=0,
+                           post=jnp.floor)
 
     # ---- sobel rows [g_lo, g_hi) = [row0-1, row0+nrows+1) clamped ----
     two = np.float32(2)
@@ -574,7 +615,9 @@ def frontend_nm_xla(img, kernel_vals, *, whole_h: int = 1440,
     r = c + 2
     if H <= whole_h:
         # select-free static formulation (see frontend_nm_static)
-        padded = jnp.pad(img, r).astype(jnp.float32)
+        padded = jnp.pad(img, r)
+        if _PAD_F32:
+            padded = padded.astype(jnp.float32)
         return frontend_nm_static(padded, 0, H, H, W, kernel_vals,
                                   thresholds=thresholds)
     # equalize band heights (minimal bottom padding: large pads from a fixed
@@ -613,7 +656,9 @@ def frontend_nm_banded(img, kernel_vals, *, band_h: int = 512,
     nb = cdiv(H, band_h)
     hp = nb * band_h
 
-    padded = jnp.pad(img, ((r, hp - H + r), (r, r))).astype(jnp.float32)
+    padded = jnp.pad(img, ((r, hp - H + r), (r, r)))
+    if _PAD_F32:
+        padded = padded.astype(jnp.float32)
 
     def band_window(i):
         return padded[i * band_h:i * band_h + band_h + 2 * r, :]
