@@ -96,6 +96,25 @@ def main():
     log(f"B=64 (4 distinct tiled)  {per * 1e3:7.3f} ms/frame  "
         f"({H * W / per / 1e6:6.0f} MP/s)  wall {time.time() - t0:.0f}s")
 
+    # round-4 fix: packed output (the 265 MB stacked int16 buffer blamed
+    # above becomes 8.3 MB of bitmasks).  Measured 2026-08-19 on v5e:
+    # B=1 int16 0.198 / B=1 packed 0.182 / B=16 packed 0.184 / B=64
+    # packed 0.188 ms/frame — batch parity restored (and better than the
+    # single-frame int16 pipeline, which pays the unpack tail).
+    from canny_edge_tpu.models.canny import canny_fn_packed
+
+    def batched_packed(imgs, mn, mx):
+        return jax.lax.map(
+            lambda f: canny_fn_packed(f, mn, mx, kernel_vals=kv), imgs)
+
+    for B in (16, 64):
+        bat = np.tile(four, (B // 4, 1, 1))
+        t0 = time.time()
+        sec = checksum_slope_seconds(batched_packed, bat, samples=3)
+        per = sec / B
+        log(f"B={B:<3} (packed output)   {per * 1e3:7.3f} ms/frame  "
+            f"({H * W / per / 1e6:6.0f} MP/s)  wall {time.time() - t0:.0f}s")
+
 
 if __name__ == "__main__":
     main()

@@ -172,6 +172,26 @@ def main():
              "vs_baseline": round(mps / 229.0, 2)})
         log(f"[3] {b}: {sec*1e3:.1f} ms/batch  {mps:.0f} MP/s  "
             f"{B/sec:.0f} fps")
+    # packed-output batch (production streaming path): the device emits
+    # (B, H, ceil(W/32)) uint32 bitmasks — 8.3 MB at 64x1080p instead of
+    # the 265 MB stacked int16 buffer that round 3 measured as the entire
+    # +11%/frame batch overhead (benchmarks/exp_batch.py)
+    try:
+        from canny_edge_tpu.models.canny import canny_fn_packed
+
+        pipe_p = lambda imgs, mn, mx: jax.lax.map(  # noqa: E731
+            lambda f: canny_fn_packed(f, mn, mx, kernel_vals=kv(1.4)), imgs)
+        sec = steady_state(pipe_p, batch, k=8 if args.quick else None)
+        mps = batch.size / sec / 1e6
+        results["configs"].append(
+            {"config": f"batch{B}x1080p s1.4", "backend": "fused-packed",
+             "ms_per_batch": round(sec * 1e3, 3), "mp_per_s": round(mps, 1),
+             "fps_1080p": round(B / sec, 1),
+             "vs_baseline": round(mps / 229.0, 2)})
+        log(f"[3] fused-packed: {sec*1e3:.1f} ms/batch  {mps:.0f} MP/s  "
+            f"{B/sec:.0f} fps")
+    except Exception as e:
+        log(f"[3] fused-packed: FAILED {type(e).__name__}: {e}")
 
     # --- config 4: 4K single image ---
     im4k = synthetic_image(2160, 3840, seed=5)

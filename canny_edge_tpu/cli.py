@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(synthetic: and raw8: inputs; falls back to the "
                         "Python source if the native library is "
                         "unavailable)")
+    p.add_argument("--packed-transfer", action="store_true",
+                   help="return bit-packed edge masks from the device and "
+                        "expand them on the host (16x less device->host "
+                        "traffic; recommended for long streams)")
     p.add_argument("--time", action="store_true", dest="timeit",
                    help="print per-stage timing (reference's Execution time"
                         " print, structured)")
@@ -94,6 +98,12 @@ def validate_args(args) -> None:
                          "single-chip contract mode (the quirk pixel lives "
                          "at a fixed global corner); use backend xla, "
                          "pallas, or golden")
+    if args.packed_transfer and args.backend in ("golden", "sharded"):
+        raise SystemExit("ERROR: --packed-transfer uses the single-chip "
+                         "packed engines; use backend fused, xla, or pallas")
+    if args.packed_transfer and args.hysteresis == "strict-reference":
+        raise SystemExit("ERROR: --packed-transfer does not support "
+                         "strict-reference hysteresis yet")
 
 
 def _apply_platform_env() -> None:
@@ -190,7 +200,8 @@ def build_config(args):
             backend=args.backend, hysteresis_mode=args.hysteresis,
             batch_size=args.batch, mesh_data=mesh_d, mesh_y=mesh_y,
             mesh_x=mesh_x, prefetch_depth=args.prefetch,
-            checkpoint_path=cursor_path)
+            checkpoint_path=cursor_path,
+            packed_transfer=args.packed_transfer)
     except ValueError as e:
         raise SystemExit(f"ERROR: {e}")
 
@@ -234,6 +245,16 @@ def _make_run_batch(cfg, first_frame):
                      hysteresis_mode=cfg.hysteresis_mode)
     import jax
 
+    if getattr(cfg, "packed_transfer", False):
+        # device returns (B, H, ceil(W/32)) uint32 bitmasks; the writer
+        # expands them on the host (ops.packed.unpack_edges_np)
+        def run_batch(batch):
+            if batch.shape[0] == 1:
+                return model.packed(batch[0], cfg.min_val, cfg.max_val)[None]
+            return model.batch_packed(batch, cfg.min_val, cfg.max_val)
+
+        return run_batch, jax.device_put
+
     def run_batch(batch):
         if batch.shape[0] == 1:
             return model(batch[0], cfg.min_val, cfg.max_val)[None]
@@ -267,6 +288,10 @@ def main(argv=None) -> int:
     saved_steps = [False]
 
     def on_result(bi, edges):
+        if cfg.packed_transfer:
+            from .ops.packed import unpack_edges_np
+
+            edges = unpack_edges_np(edges, first.shape[-1])
         for fi in range(edges.shape[0]):
             if single_image:
                 out_path = args.output

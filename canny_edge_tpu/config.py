@@ -34,6 +34,7 @@ class CannyConfig:
     # streaming
     prefetch_depth: int = 2
     checkpoint_path: str | None = None  # stream cursor file for resume
+    packed_transfer: bool = False       # device returns bit-packed masks
 
     def __post_init__(self):
         if self.max_val <= self.min_val:

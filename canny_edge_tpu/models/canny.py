@@ -91,6 +91,31 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
     return hysteresis_packed(nm, min_val, max_val)
 
 
+def canny_fn_packed(img, min_val, max_val, *, kernel_vals):
+    """Traceable pipeline with *bit-packed* output: uint8 (H, W) ->
+    uint32 (H, ceil(W/32)) edge bitmask (ops.packed layout; bit b of word
+    j = column j*32 + b, set iff the pixel is an edge).
+
+    The fused production engines already hold the edge state bit-packed;
+    this entry point simply skips the final unpack + int16 expansion, so
+    the device output is 0.031 B/px instead of 2 B/px.  That is the fix
+    for the round-3 batch finding (benchmarks/exp_batch.py): at 64x1080p
+    the stacked int16 output buffer was 265 MB — the entire +11%/frame
+    batch overhead — vs 8.3 MB packed.  Unpack on the host with
+    ops.packed.unpack_edges_np (or on device with ops.packed.unpack_mask).
+
+    Replaces the reference's one-frame-at-a-time loop (src/main.cpp:120)
+    for high-throughput streaming.
+    """
+    from ..kernels.hysteresis_packed import hysteresis_packed_pallas_masks
+    from ..ops.window import frontend_nm_xla
+
+    h, w = img.shape[-2], img.shape[-1]
+    weak_p, strong_p = frontend_nm_xla(img, kernel_vals,
+                                       thresholds=(min_val, max_val))
+    return hysteresis_packed_pallas_masks(weak_p, strong_p, h, w)
+
+
 def canny_fn_batched(imgs, min_val, max_val, *, kernel_vals,
                      hysteresis_steps=8, hysteresis_mode="component",
                      backend="xla"):
@@ -170,6 +195,14 @@ class CannyTPU:
         self._intermediates = jax.jit(functools.partial(
             canny_with_intermediates, kernel_vals=kernel_vals,
             hysteresis_steps=self.hysteresis_steps))
+        # packed-output entry points (fused engines regardless of backend:
+        # the packed mask IS the fused path's native state)
+        packed_base = functools.partial(canny_fn_packed,
+                                        kernel_vals=kernel_vals)
+        self._packed = jax.jit(packed_base)
+        self._batch_packed = jax.jit(
+            lambda imgs, mn, mx: jax.lax.map(
+                lambda f: packed_base(f, mn, mx), imgs))
 
     @property
     def window(self) -> int:
@@ -183,6 +216,23 @@ class CannyTPU:
         assert imgs.ndim == 3, "batch expects (B, H, W)"
         self._validate(imgs[0], min_val, max_val)
         return self._batched(imgs, jnp.int32(min_val), jnp.int32(max_val))
+
+    def packed(self, img, min_val: int, max_val: int):
+        """Edge bitmask (H, ceil(W/32)) uint32 — see canny_fn_packed."""
+        self._validate(img, min_val, max_val)
+        return self._packed(img, jnp.int32(min_val), jnp.int32(max_val))
+
+    def batch_packed(self, imgs, min_val: int, max_val: int):
+        """(B, H, W) -> (B, H, ceil(W/32)) uint32 edge bitmasks.
+
+        The production batch path for streaming: the 64x1080p device
+        output is 8.3 MB instead of 265 MB, which restores per-frame
+        parity with the single-frame pipeline (benchmarks/exp_batch.py).
+        """
+        assert imgs.ndim == 3, "batch_packed expects (B, H, W)"
+        self._validate(imgs[0], min_val, max_val)
+        return self._batch_packed(imgs, jnp.int32(min_val),
+                                  jnp.int32(max_val))
 
     def with_intermediates(self, img, min_val: int, max_val: int):
         self._validate(img, min_val, max_val)

@@ -65,6 +65,22 @@ def unpack_mask(packed, w: int):
     return flat[..., :w] != 0
 
 
+def unpack_edges_np(packed: np.ndarray, w: int) -> np.ndarray:
+    """Host-side unpack: uint32 (..., H, Wd) -> int16 {0,255} (..., H, w).
+
+    The packed-output pipeline (models.canny.CannyTPU.packed /
+    batch_packed) returns 0.031 B/px bitmasks — 16x less device->host
+    transfer than the int16 edge map, which matters wherever the host
+    link, not the chip, bounds streaming throughput.  This expands them
+    to the reference's {0, 255} int16 frame on the host.
+    """
+    packed = np.asarray(packed, np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)
+    bits = (packed[..., None] >> shifts) & np.uint32(1)
+    flat = bits.reshape(*packed.shape[:-1], packed.shape[-1] * 32)
+    return np.where(flat[..., :w] != 0, np.int16(255), np.int16(0))
+
+
 # ---------------------------------------------------------------------------
 # packed shifts (image-coordinate shifts over the bit-packed layout)
 # ---------------------------------------------------------------------------

@@ -230,3 +230,31 @@ def test_cli_pgm_dir_native_feeder(tmp_path):
     got = imageio.load_grayscale(os.path.join(out_dir, pngs[0]))
     np.testing.assert_array_equal(got.astype(np.int16),
                                   golden.hysteresis(nm, 40, 160))
+
+
+def test_cli_packed_transfer(tmp_path, test_image):
+    """--packed-transfer: device returns bitmasks, host expands; output
+    PNGs are identical to the default path."""
+    import cv2
+
+    src = str(tmp_path / "in.png")
+    cv2.imwrite(src, test_image)
+    out = str(tmp_path / "edges_packed.png")
+    rc = cli_main([src, "1.0", "50", "150", "-o", out,
+                   "--out-dir", str(tmp_path), "--packed-transfer"])
+    assert rc == 0
+    edges = imageio.load_grayscale(out)
+    ref = golden.canny(test_image, 1.0, 50, 150).astype(np.uint8)
+    np.testing.assert_array_equal(edges, ref)
+
+
+@pytest.mark.parametrize("argv,msg", [
+    (["synthetic:16x16", "1.0", "50", "150", "--packed-transfer",
+      "--backend", "golden"], "packed-transfer"),
+    (["synthetic:16x16", "1.0", "50", "150", "--packed-transfer",
+      "--hysteresis", "strict-reference"], "packed-transfer"),
+])
+def test_cli_packed_transfer_validation(argv, msg):
+    with pytest.raises(SystemExit) as e:
+        cli_main(argv)
+    assert msg in str(e.value)

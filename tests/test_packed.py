@@ -244,3 +244,43 @@ def test_fused_backend_over_vmem_dispatch(test_image, monkeypatch):
     nm = golden.nonmax_suppression(*golden.sobel(sm))
     np.testing.assert_array_equal(np.asarray(out),
                                   golden.hysteresis(nm, 50, 150))
+
+
+def test_packed_output_api_matches_unpacked(test_image):
+    """CannyTPU.packed / batch_packed return the same edge set as the
+    int16 pipeline, bit-packed (the 64x1080p batch-output fix —
+    benchmarks/exp_batch.py: 265 MB stacked int16 -> 8.3 MB packed)."""
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.models import CannyTPU
+    from canny_edge_tpu.ops.packed import unpack_edges_np
+
+    model = CannyTPU(sigma=1.0, backend="fused")
+    w = test_image.shape[-1]
+    full = np.asarray(model(test_image, 50, 150))
+    packed = np.asarray(model.packed(test_image, 50, 150))
+    assert packed.dtype == np.uint32
+    assert packed.shape == (test_image.shape[0], -(-w // 32))
+    np.testing.assert_array_equal(unpack_edges_np(packed, w), full)
+
+    batch = np.stack([test_image, test_image[::-1].copy(),
+                      np.ascontiguousarray(test_image[:, ::-1])])
+    fullb = np.asarray(model.batch(batch, 50, 150))
+    packedb = np.asarray(model.batch_packed(batch, 50, 150))
+    assert packedb.shape == (3, test_image.shape[0], -(-w // 32))
+    np.testing.assert_array_equal(unpack_edges_np(packedb, w), fullb)
+
+
+def test_packed_output_odd_width():
+    """Packed output with W not divisible by 32 (pad bits must stay 0)."""
+    from canny_edge_tpu.models import CannyTPU
+    from canny_edge_tpu.ops.packed import unpack_edges_np
+
+    img = synthetic_image(40, 61)
+    model = CannyTPU(sigma=0.5, backend="fused")
+    full = np.asarray(model(img, 30, 90))
+    packed = np.asarray(model.packed(img, 30, 90))
+    np.testing.assert_array_equal(unpack_edges_np(packed, 61), full)
+    # pad bits beyond the image width are zero
+    tail_bits = np.asarray(packed)[:, -1] >> np.uint32(61 % 32)
+    assert (tail_bits == 0).all()
