@@ -46,6 +46,12 @@ def halo_exchange_cols(x, r: int, axis_name: str):
     """
     if r == 0:
         return x
+    if lax.axis_size(axis_name) == 1:
+        # no neighbors: the halo is pure image-border zero fill, emitted
+        # as a pad (fuses into the consumer) rather than zeros+concat
+        # (which XLA:TPU materializes as its own full-size lane-axis
+        # array — part of the round-3 degenerate-mesh overhead)
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(r, r)])
     left_halo = _shift_from_lower(x[..., -r:], axis_name)
     right_halo = _shift_from_upper(x[..., :r], axis_name)
     return jnp.concatenate([left_halo, x, right_halo], axis=-1)
@@ -55,6 +61,8 @@ def halo_exchange_rows(x, r: int, axis_name: str):
     """(..., H, W) -> (..., H + 2r, W): exchange row halos along mesh axis."""
     if r == 0:
         return x
+    if lax.axis_size(axis_name) == 1:
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(r, r), (0, 0)])
     top_halo = _shift_from_lower(x[..., -r:, :], axis_name)
     bottom_halo = _shift_from_upper(x[..., :r, :], axis_name)
     return jnp.concatenate([top_halo, x, bottom_halo], axis=-2)
