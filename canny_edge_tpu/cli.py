@@ -93,17 +93,9 @@ def validate_args(args) -> None:
         raise SystemExit("ERROR: maxVal must be in the range of [0,255]")
     if args.sigma <= 0:
         raise SystemExit("ERROR: sigma must be positive")
-    if args.hysteresis == "strict-reference" and args.backend == "sharded":
-        raise SystemExit("ERROR: strict-reference hysteresis is a "
-                         "single-chip contract mode (the quirk pixel lives "
-                         "at a fixed global corner); use backend xla, "
-                         "pallas, or golden")
     if args.packed_transfer and args.backend in ("golden", "sharded"):
         raise SystemExit("ERROR: --packed-transfer uses the single-chip "
                          "packed engines; use backend fused, xla, or pallas")
-    if args.packed_transfer and args.hysteresis == "strict-reference":
-        raise SystemExit("ERROR: --packed-transfer does not support "
-                         "strict-reference hysteresis yet")
 
 
 def _apply_platform_env() -> None:
@@ -236,7 +228,8 @@ def _make_run_batch(cfg, first_frame):
         if cfg.batch_size % ndata:
             raise SystemExit(f"ERROR: --batch {cfg.batch_size} must be a "
                              f"multiple of the mesh data axis ({ndata})")
-        model = ShardedCanny(mesh, cfg.sigma, first_frame.shape)
+        model = ShardedCanny(mesh, cfg.sigma, first_frame.shape,
+                             hysteresis_mode=cfg.hysteresis_mode)
         return (lambda b: model(b, cfg.min_val, cfg.max_val),
                 model.shard_batch)
     from .models import CannyTPU

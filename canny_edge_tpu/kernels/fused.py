@@ -20,7 +20,8 @@ def _auto_interpret():
 
 
 def canny_fused(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
-                tile=None, interpret=None, hysteresis_impl="packed"):
+                tile=None, interpret=None, hysteresis_impl="packed",
+                strict=False):
     """uint8 (H, W) -> int16 {0,255} via Pallas kernels.
 
     ``hysteresis_steps`` is accepted for signature parity with the XLA path
@@ -30,23 +31,28 @@ def canny_fused(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
     ``hysteresis_impl``: "packed" (bit-packed VMEM-resident flood, default
     — see kernels/hysteresis_packed.py), "banded" (raster-scan wavefront)
     or "dilate" (v1 tiled dilation fixed point).
+    ``strict``: strict-reference hysteresis (the reference BFS bounds
+    quirk, src/utils.cpp:378,399) — packed impls only.
     """
     del hysteresis_steps
     if interpret is None:
         interpret = _auto_interpret()
+    if strict and hysteresis_impl not in ("packed", "packed-xla"):
+        raise ValueError("strict mode: use hysteresis_impl packed/packed-xla")
     if img.ndim == 3:
         f = lambda x: canny_fused(  # noqa: E731
             x, min_val, max_val, kernel_vals=kernel_vals, tile=tile,
-            interpret=interpret, hysteresis_impl=hysteresis_impl)
+            interpret=interpret, hysteresis_impl=hysteresis_impl,
+            strict=strict)
         return jax.vmap(f)(img)
     nm = frontend_nm(img, kernel_vals, tile=tile, interpret=interpret)
     if hysteresis_impl == "packed":
         return hysteresis_packed_pallas(nm, min_val, max_val,
-                                        interpret=interpret)
+                                        interpret=interpret, strict=strict)
     if hysteresis_impl == "packed-xla":
         from ..ops.packed import hysteresis_packed
 
-        return hysteresis_packed(nm, min_val, max_val)
+        return hysteresis_packed(nm, min_val, max_val, strict=strict)
     if hysteresis_impl == "banded":
         return hysteresis_banded(nm, min_val, max_val, interpret=interpret)
     return hysteresis_pallas(nm, min_val, max_val,

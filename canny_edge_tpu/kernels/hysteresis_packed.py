@@ -94,6 +94,38 @@ def _dilate_t(e, weak):
     return weak & (h | _row_up_t(h) | _row_dn_t(h))
 
 
+_U2 = np.uint32(2)
+
+
+def _strict_fix_t(new, prev, weak, word0: int = 0, row0: int = 0):
+    """Strict-reference correction in the transposed (Wd, H) layout.
+
+    Re-derives global pixel (0, 1) — bit 1 of word ``word0`` at lane
+    ``row0`` — from its allowed promotion sources (0,0), (0,2), (1,1),
+    (1,2) after a dilation (the packed analog of
+    ops.stages._strict_reference_fix; see ops.packed.strict_fix_packed
+    for the natural-layout version and the flood-safety argument).
+
+    Mosaic constraints shape the formulation: no dynamic_update_slice
+    lowering and no two-axis (1,1)->(M,N) vector broadcast, so the fix
+    computes a full (1, H) strip of word ``word0`` (strip ops + a lane
+    iota select), then merges it with a sublane-only broadcast.
+    """
+    pw = prev[word0:word0 + 1, :]                     # (1, H) word strip
+    pw_up = jnp.concatenate([pw[:, 1:], jnp.zeros_like(pw[:, :1])], axis=1)
+    allowed = ((pw & _U1) | ((pw >> _U2) & _U1)
+               | ((pw_up >> _U1) & _U1) | ((pw_up >> _U2) & _U1))
+    ww = weak[word0:word0 + 1, :]
+    val = ((pw >> _U1) & _U1) | (((ww >> _U1) & _U1) & allowed)
+    nw = new[word0:word0 + 1, :]
+    corrected = (nw & ~_U2) | (val << _U1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, nw.shape, 1)
+    strip = jnp.where(lanes == row0, corrected, nw)   # only lane row0 fixed
+    words = jax.lax.broadcasted_iota(jnp.int32, new.shape, 0)
+    return jnp.where(words == word0,
+                     jnp.broadcast_to(strip, new.shape), new)
+
+
 def _hflood_t(e, weak, width: int):
     """Flood edges along entire horizontal weak runs (both directions)."""
     al, bl = e, weak
@@ -146,12 +178,18 @@ def _vflood_t(e, weak, height: int):
 
 
 def _hyst_packed_kernel_t(weak_ref, strong_ref, out_ref, *, height, width,
-                          inner_dilate):
+                          inner_dilate, strict=False, quirk_rw=(0, 0)):
     w = weak_ref[:]
+
+    def dil(e):
+        d = _dilate_t(e, w)
+        if strict:
+            d = _strict_fix_t(d, e, w, quirk_rw[1], quirk_rw[0])
+        return d
 
     def rest_of_round(e):
         e = jax.lax.fori_loop(0, inner_dilate - 1,
-                              lambda i, x: _dilate_t(x, w), e)
+                              lambda i, x: dil(x), e)
         e = _hflood_t(e, w, width)
         e = _vflood_t(e, w, height)
         return e
@@ -163,8 +201,10 @@ def _hyst_packed_kernel_t(weak_ref, strong_ref, out_ref, *, height, width,
         # a dilation would also add.  So the final (verification) round
         # costs one dilation + compare instead of a full round, and
         # non-final rounds lose nothing — the dilation is the round's
-        # first step either way.
-        d1 = _dilate_t(e, w)
+        # first step either way.  (In strict mode the test dilation must
+        # carry the quirk fix too, else a strict fixed point would report
+        # "changed" forever through the forbidden promotion.)
+        d1 = dil(e)
         changed = _any_nonzero(d1 ^ e)
         new = jax.lax.cond(changed, rest_of_round, lambda x: x, d1)
         return new, changed
@@ -179,19 +219,27 @@ def _hyst_packed_kernel_t(weak_ref, strong_ref, out_ref, *, height, width,
 
 # natural-layout kernel, kept for A/B comparison (benchmarks/exp_flood_t.py)
 def _hyst_packed_kernel(weak_ref, strong_ref, out_ref, *, height, width,
-                        inner_dilate):
+                        inner_dilate, strict=False, quirk_rw=(0, 0)):
+    from ..ops.packed import strict_fix_packed
+
     w = weak_ref[:]
+
+    def dil(e):
+        d = dilate_packed(e, w)
+        if strict:
+            d = strict_fix_packed(d, e, w, *quirk_rw)
+        return d
 
     def rest_of_round(e):
         e = jax.lax.fori_loop(0, inner_dilate - 1,
-                              lambda i, x: dilate_packed(x, w), e)
+                              lambda i, x: dil(x), e)
         e = hflood(e, w, width)
         e = vflood(e, w, height)
         return e
 
     def body(state):
         e, _ = state
-        d1 = dilate_packed(e, w)
+        d1 = dil(e)
         changed = _any_nonzero(d1 ^ e)
         new = jax.lax.cond(changed, rest_of_round, lambda x: x, d1)
         return new, changed
@@ -219,7 +267,8 @@ def flood_fits_vmem(height: int, width: int,
 def hysteresis_packed_pallas_masks(weak_p, strong_p, height: int, width: int,
                                    *, inner_dilate: int = INNER_DILATE_VMEM,
                                    interpret=None, layout: str = "transposed",
-                                   vmem_budget: int | None = None):
+                                   vmem_budget: int | None = None,
+                                   strict: bool = False, quirk_rw=(0, 0)):
     """Packed (H, Wd) uint32 masks -> packed edge mask, one VMEM kernel.
 
     ``layout``: "transposed" (default — compute in (Wd, H), see module
@@ -236,19 +285,22 @@ def hysteresis_packed_pallas_masks(weak_p, strong_p, height: int, width: int,
     at H=1 or W<=32), and a kernel launch would cost more than the XLA
     flood on such sizes anyway.
     """
+    strict = strict and height >= 2 and width >= 2
     if (not flood_fits_vmem(height, width, vmem_budget)
             or height < 2 or cdiv(width, 32) < 2):
         from ..ops.packed import hysteresis_packed_masks
 
         edges, _ = hysteresis_packed_masks(weak_p, strong_p, height, width,
-                                           inner_dilate=INNER_DILATE_XLA)
+                                           inner_dilate=INNER_DILATE_XLA,
+                                           strict=strict, quirk_rw=quirk_rw)
         return edges
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     vmem = pltpu.CompilerParams(vmem_limit_bytes=kernel_vmem_limit())
     if layout == "transposed":
         kern = functools.partial(_hyst_packed_kernel_t, height=height,
-                                 width=width, inner_dilate=inner_dilate)
+                                 width=width, inner_dilate=inner_dilate,
+                                 strict=strict, quirk_rw=quirk_rw)
         weak_t = jnp.swapaxes(weak_p, -2, -1)
         strong_t = jnp.swapaxes(strong_p, -2, -1)
         out_t = pl.pallas_call(
@@ -262,7 +314,8 @@ def hysteresis_packed_pallas_masks(weak_p, strong_p, height: int, width: int,
         )(weak_t, strong_t)
         return jnp.swapaxes(out_t, -2, -1)
     kern = functools.partial(_hyst_packed_kernel, height=height, width=width,
-                             inner_dilate=inner_dilate)
+                             inner_dilate=inner_dilate, strict=strict,
+                             quirk_rw=quirk_rw)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(weak_p.shape, jnp.uint32),
@@ -279,7 +332,7 @@ def hysteresis_packed_pallas_masks(weak_p, strong_p, height: int, width: int,
 
 def hysteresis_packed_pallas(nm, min_val, max_val, *,
                              inner_dilate: int = INNER_DILATE_VMEM,
-                             interpret=None):
+                             interpret=None, strict: bool = False):
     """int NMS magnitude (H, W) -> int16 {0,255} via the VMEM flood kernel.
 
     Thresholding/packing/unpacking run in XLA (they fuse with neighboring
@@ -291,10 +344,10 @@ def hysteresis_packed_pallas(nm, min_val, max_val, *,
     if nm.ndim == 3:
         f = functools.partial(hysteresis_packed_pallas_masks, height=h,
                               width=w, inner_dilate=inner_dilate,
-                              interpret=interpret)
+                              interpret=interpret, strict=strict)
         edges = jax.vmap(f)(weak_p, strong_p)
     else:
         edges = hysteresis_packed_pallas_masks(
             weak_p, strong_p, h, w, inner_dilate=inner_dilate,
-            interpret=interpret)
+            interpret=interpret, strict=strict)
     return jnp.where(unpack_mask(edges, w), jnp.int16(255), jnp.int16(0))

@@ -44,21 +44,21 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
       * "pallas" — all-Pallas compute path (fused front-end kernel + VMEM
         hysteresis), the reference point for kernel-vs-XLA comparisons.
     ``hysteresis_mode``: "component" (clean 8-connected rule) or
-    "strict-reference" (bit-identical to the reference binary including its
-    BFS bounds quirk; see ops.stages.hysteresis).
+    "strict-reference" (bit-identical to the reference binary including
+    its BFS bounds quirk).  Since round 4 strict mode runs on the SAME
+    production engines as component mode — the quirk is one masked bit in
+    word 0 of rows 0/1 of the packed flood (ops.packed.strict_fix_packed)
+    — at ~zero cost, instead of the round-3 unpacked-dilation detour.
     """
-    if hysteresis_mode == "strict-reference":
-        from ..ops.window import frontend_nm_banded
-
-        nm = frontend_nm_banded(img, kernel_vals)
-        return stages.hysteresis(nm, min_val, max_val, hysteresis_steps,
-                                 mode=hysteresis_mode)
+    if hysteresis_mode not in ("component", "strict-reference"):
+        raise ValueError(f"unknown hysteresis mode: {hysteresis_mode!r}")
+    strict = hysteresis_mode == "strict-reference"
     if backend == "pallas":
         from ..kernels import fused as pallas_fused
 
         return pallas_fused.canny_fused(
             img, min_val, max_val, kernel_vals=kernel_vals,
-            hysteresis_steps=hysteresis_steps)
+            hysteresis_steps=hysteresis_steps, strict=strict)
     from ..ops.window import frontend_nm_xla
 
     if backend == "fused":
@@ -76,7 +76,8 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
         # inner_dilate / VMEM capacity guard live in utils/constants.py and
         # kernels/hysteresis_packed.py (over-budget shapes, e.g. 8K frames,
         # automatically stream through the XLA flood instead)
-        edges = hysteresis_packed_pallas_masks(weak_p, strong_p, h, w)
+        edges = hysteresis_packed_pallas_masks(weak_p, strong_p, h, w,
+                                               strict=strict)
         return jnp.where(unpack_mask(edges, w), jnp.int16(255), jnp.int16(0))
     nm = frontend_nm_xla(img, kernel_vals)
     from ..ops.packed import hysteresis_packed
@@ -88,10 +89,11 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
     # above defaults to the larger INNER_DILATE_VMEM, retuned in round 2
     # for its cheap early-exit test; utils/constants.py is the single
     # source of truth for both)
-    return hysteresis_packed(nm, min_val, max_val)
+    return hysteresis_packed(nm, min_val, max_val, strict=strict)
 
 
-def canny_fn_packed(img, min_val, max_val, *, kernel_vals):
+def canny_fn_packed(img, min_val, max_val, *, kernel_vals,
+                    hysteresis_mode: str = "component"):
     """Traceable pipeline with *bit-packed* output: uint8 (H, W) ->
     uint32 (H, ceil(W/32)) edge bitmask (ops.packed layout; bit b of word
     j = column j*32 + b, set iff the pixel is an edge).
@@ -110,10 +112,14 @@ def canny_fn_packed(img, min_val, max_val, *, kernel_vals):
     from ..kernels.hysteresis_packed import hysteresis_packed_pallas_masks
     from ..ops.window import frontend_nm_xla
 
+    if hysteresis_mode not in ("component", "strict-reference"):
+        raise ValueError(f"unknown hysteresis mode: {hysteresis_mode!r}")
     h, w = img.shape[-2], img.shape[-1]
     weak_p, strong_p = frontend_nm_xla(img, kernel_vals,
                                        thresholds=(min_val, max_val))
-    return hysteresis_packed_pallas_masks(weak_p, strong_p, h, w)
+    return hysteresis_packed_pallas_masks(
+        weak_p, strong_p, h, w,
+        strict=hysteresis_mode == "strict-reference")
 
 
 def canny_fn_batched(imgs, min_val, max_val, *, kernel_vals,
@@ -197,8 +203,9 @@ class CannyTPU:
             hysteresis_steps=self.hysteresis_steps))
         # packed-output entry points (fused engines regardless of backend:
         # the packed mask IS the fused path's native state)
-        packed_base = functools.partial(canny_fn_packed,
-                                        kernel_vals=kernel_vals)
+        packed_base = functools.partial(
+            canny_fn_packed, kernel_vals=kernel_vals,
+            hysteresis_mode=self.hysteresis_mode)
         self._packed = jax.jit(packed_base)
         self._batch_packed = jax.jit(
             lambda imgs, mn, mx: jax.lax.map(

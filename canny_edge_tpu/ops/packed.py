@@ -121,6 +121,45 @@ def dilate_packed(e, weak):
     return weak & (h | _row_up(h) | _row_dn(h))
 
 
+def strict_fix_packed(new, prev, weak, row0: int = 0, word0: int = 0):
+    """Strict-reference correction on packed (H, Wd) masks.
+
+    Re-derives global pixel (0, 1) — the target of the reference BFS's
+    missing directed edge (1,0)->(0,1), src/utils.cpp:378,399 — from its
+    *allowed* promotion sources (0,0), (0,2), (1,1), (1,2) after a
+    dilation step.  The segmented or-scan floods never travel diagonally,
+    so entries into (0,1) along runs always come through allowed sources
+    and only the dilation needs this fix (ops.stages._strict_reference_fix
+    is the unpacked analog).  The convergence-test dilation must use it
+    too, else a strict fixed point reports "changed" forever.
+
+    ``row0``/``word0``: packed coordinates of global row 0 / word 0 inside
+    ``new`` (nonzero for the distributed flood's halo-extended arrays).
+    Width-padding bits are zero in ``weak``/``prev``, so W == 2 needs no
+    special case; W < 2 has no pixel (0,1) and callers skip the fix.
+
+    This also runs inside the natural-layout Pallas flood kernel, where
+    Mosaic has neither dynamic_update_slice nor a two-axis (1,1)->(M,N)
+    vector broadcast — so the fix computes a full (1, Wd) strip of row
+    ``row0`` (strip ops + a lane iota select), then merges it with a
+    sublane-only broadcast.
+    """
+    u2 = np.uint32(2)
+    p0 = prev[..., row0:row0 + 1, :]                  # (..., 1, Wd) strips
+    p1 = prev[..., row0 + 1:row0 + 2, :]
+    allowed = ((p0 & _U1) | ((p0 >> u2) & _U1)
+               | ((p1 >> _U1) & _U1) | ((p1 >> u2) & _U1))
+    w0 = weak[..., row0:row0 + 1, :]
+    val = ((p0 >> _U1) & _U1) | (((w0 >> _U1) & _U1) & allowed)
+    n0 = new[..., row0:row0 + 1, :]
+    corrected = (n0 & ~u2) | (val << _U1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, n0.shape[-2:], 1)
+    strip = jnp.where(lanes == word0, corrected, n0)  # only word0 fixed
+    rows = jax.lax.broadcasted_iota(jnp.int32, new.shape[-2:], 0)
+    return jnp.where(rows == row0,
+                     jnp.broadcast_to(strip, new.shape), new)
+
+
 # ---------------------------------------------------------------------------
 # segmented or-scan floods (log-doubling transfer-function composition)
 # ---------------------------------------------------------------------------
@@ -184,7 +223,8 @@ def vflood(e, weak, height: int):
 # ---------------------------------------------------------------------------
 
 def hysteresis_packed_masks(weak_p, strong_p, height: int, width: int,
-                            inner_dilate: int = INNER_DILATE_XLA):
+                            inner_dilate: int = INNER_DILATE_XLA,
+                            strict: bool = False, quirk_rw=(0, 0)):
     """Packed weak/strong masks -> packed edge mask + rounds-run stat.
 
     The round body is instantiated exactly once (inside the while_loop,
@@ -192,11 +232,21 @@ def hysteresis_packed_masks(weak_p, strong_p, height: int, width: int,
     too) and the inner dilations run under a fori_loop — both choices
     halve-ish the compiled program size, which matters on this target's
     slow kernel-compile path.
+
+    ``strict``: apply the strict-reference directed-edge exclusion to
+    every dilation (see :func:`strict_fix_packed`); ``quirk_rw`` locates
+    global (row 0, word 0) inside the arrays (halo-extended shards).
     """
+    strict = strict and height >= 2 and width >= 2
+
+    def dil(x):
+        d = dilate_packed(x, weak_p)
+        if strict:
+            d = strict_fix_packed(d, x, weak_p, *quirk_rw)
+        return d
 
     def one_round(e):
-        e = jax.lax.fori_loop(
-            0, inner_dilate, lambda i, x: dilate_packed(x, weak_p), e)
+        e = jax.lax.fori_loop(0, inner_dilate, lambda i, x: dil(x), e)
         e = hflood(e, weak_p, width)
         e = vflood(e, weak_p, height)
         return e
@@ -216,22 +266,28 @@ def hysteresis_packed_masks(weak_p, strong_p, height: int, width: int,
     return edges, rounds
 
 
-def hysteresis_packed(nm, min_val, max_val, inner_dilate: int = INNER_DILATE_XLA):
+def hysteresis_packed(nm, min_val, max_val,
+                      inner_dilate: int = INNER_DILATE_XLA,
+                      strict: bool = False):
     """int NMS magnitude (H, W) -> int16 {0,255}; bit-packed fixed point.
 
     Drop-in equivalent of ops.stages.hysteresis (identical result set; see
     module docstring for the equivalence argument), ~3-6x faster on TPU.
+    ``strict``: strict-reference mode (the BFS bounds quirk, see
+    :func:`strict_fix_packed`).
     """
-    out, _ = hysteresis_packed_with_stats(nm, min_val, max_val, inner_dilate)
+    out, _ = hysteresis_packed_with_stats(nm, min_val, max_val, inner_dilate,
+                                          strict=strict)
     return out
 
 
 def hysteresis_packed_with_stats(nm, min_val, max_val,
-                                 inner_dilate: int = INNER_DILATE_XLA):
+                                 inner_dilate: int = INNER_DILATE_XLA,
+                                 strict: bool = False):
     h, w = nm.shape[-2], nm.shape[-1]
     weak_p = pack_mask(nm >= min_val)
     strong_p = pack_mask(nm >= max_val)
     edges, rounds = hysteresis_packed_masks(weak_p, strong_p, h, w,
-                                            inner_dilate)
+                                            inner_dilate, strict=strict)
     out = jnp.where(unpack_mask(edges, w), jnp.int16(255), jnp.int16(0))
     return out, rounds

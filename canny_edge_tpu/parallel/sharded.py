@@ -206,14 +206,23 @@ def _nms_shard(mag, ang, H: int, W: int):
     return jnp.where(keep, m, NOEDGE)
 
 
-def _hysteresis_shard(nm, min_val, max_val, H, W, steps_per_round: int = 8):
+def _hysteresis_shard(nm, min_val, max_val, H, W, steps_per_round: int = 8,
+                      strict: bool = False):
     """Distributed fixed point: K-wide halo exchange + K local dilations per
     round, terminated by a global psum of the changed count.
 
     ``H``/``W`` are the *true* image dims: texels in the bottom/right padding
     introduced for non-divisible shapes are masked out of the weak set so
     padding can never bridge two real components (relevant when min_val=0,
-    where every padding zero would otherwise count as weak)."""
+    where every padding zero would otherwise count as weak).
+
+    ``strict``: strict-reference mode — every dilation re-derives global
+    pixel (0, 1) from its allowed promotion sources, excluding (1, 0) (the
+    reference BFS bounds quirk, src/utils.cpp:378,399), on the one shard
+    that holds it (top-left; extended coords (k, k+1)).  The fix's source
+    reads (rows k..k+1, cols k..k+2) are shard-local and current at every
+    inner iteration, and absent/padded sources are masked false by
+    ``in_image``, so no global-dim special cases are needed."""
     k = steps_per_round
     hl, wl = nm.shape[-2], nm.shape[-1]
     gr0, gc0 = _global_offsets(hl, wl)
@@ -224,6 +233,12 @@ def _hysteresis_shard(nm, min_val, max_val, H, W, steps_per_round: int = 8):
     strong = (nm >= max_val) & in_image
     # weak mask is loop-invariant: exchange its halo once
     wk = halo_exchange_2d(weak.astype(jnp.int8), k, Y_AXIS, X_AXIS) > 0
+    if strict and (hl < 2 or wl < 3):
+        # unreachable with the generic geometry (block dims >= the round
+        # halo, default 8); guard so a future geometry change cannot read
+        # stale halo texels in the fix below
+        raise ValueError("strict sharded hysteresis needs blocks >= 2x3")
+    is_quirk = ((lax.axis_index(Y_AXIS) == 0) & (lax.axis_index(X_AXIS) == 0))
 
     def round_fn(edges):
         e = halo_exchange_2d(edges.astype(jnp.int8), k, Y_AXIS, X_AXIS) > 0
@@ -234,7 +249,14 @@ def _hysteresis_shard(nm, min_val, max_val, H, W, steps_per_round: int = 8):
             grow = (grow
                     | jnp.pad(grow[..., 1:, :], _pad_row(e.ndim, (0, 1)))
                     | jnp.pad(grow[..., :-1, :], _pad_row(e.ndim, (1, 0))))
-            e = wk & grow
+            new = wk & grow
+            if strict:
+                allowed = (e[..., k, k] | e[..., k + 1, k + 1]
+                           | e[..., k, k + 2] | e[..., k + 1, k + 2])
+                val = e[..., k, k + 1] | (wk[..., k, k + 1] & allowed)
+                new = new.at[..., k, k + 1].set(
+                    jnp.where(is_quirk, val, new[..., k, k + 1]))
+            e = new
         return e[..., k:-k, k:-k]
 
     def body(state):
@@ -381,7 +403,7 @@ def _frontend_shard_static(img, mn, mx, *, kernel_vals, H, W, hl, wl,
 
 
 def _flood_distributed(weak_p, strong_p, hl: int, wl: int, engine: str,
-                       ny: int = 0, nx: int = 0):
+                       ny: int = 0, nx: int = 0, strict: bool = False):
     """Distributed bit-packed hysteresis fixed point on (hl, wl//32) masks.
 
     Per round: a 2-phase ``ppermute`` halo of one packed word-column
@@ -408,11 +430,13 @@ def _flood_distributed(weak_p, strong_p, hl: int, wl: int, engine: str,
             from ..kernels.hysteresis_packed import (
                 hysteresis_packed_pallas_masks)
 
-            return hysteresis_packed_pallas_masks(weak_p, strong_p, hl, wl)
+            return hysteresis_packed_pallas_masks(weak_p, strong_p, hl, wl,
+                                                  strict=strict)
         from ..ops.packed import hysteresis_packed_masks
 
         edges, _ = hysteresis_packed_masks(weak_p, strong_p, hl, wl,
-                                           inner_dilate=INNER_DILATE_XLA)
+                                           inner_dilate=INNER_DILATE_XLA,
+                                           strict=strict)
         return edges
     wd = wl // 32
     ext_h, ext_w = hl + 2, (wd + 2) * 32
@@ -423,23 +447,45 @@ def _flood_distributed(weak_p, strong_p, hl: int, wl: int, engine: str,
         from ..kernels.hysteresis_packed import (
             hysteresis_packed_pallas_masks)
 
-        def local_flood(e_ext):
-            # carries its own per-shard VMEM capacity guard
-            return hysteresis_packed_pallas_masks(wk_ext, e_ext,
-                                                  ext_h, ext_w)
+        def local_flood(e_ext, is_quirk_shard):
+            # carries its own per-shard VMEM capacity guard.  In strict
+            # mode the quirk's directed-edge exclusion applies only on the
+            # shard holding global pixel (0, 1) — the top-left spatial
+            # shard — at halo-extended coordinates (row 1, word 1); the
+            # branches hold no collectives, so divergence is safe.
+            def flood(s):
+                def run(e):
+                    return hysteresis_packed_pallas_masks(
+                        wk_ext, e, ext_h, ext_w, strict=s, quirk_rw=(1, 1))
+                return run
+            if not strict:
+                return flood(False)(e_ext)
+            return lax.cond(is_quirk_shard, flood(True), flood(False),
+                            e_ext)
     else:
         from ..ops.packed import hysteresis_packed_masks
 
-        def local_flood(e_ext):
-            edges, _ = hysteresis_packed_masks(
-                wk_ext, e_ext, ext_h, ext_w,
-                inner_dilate=INNER_DILATE_XLA)
-            return edges
+        def local_flood(e_ext, is_quirk_shard):
+            def flood(s):
+                def run(e):
+                    edges, _ = hysteresis_packed_masks(
+                        wk_ext, e, ext_h, ext_w,
+                        inner_dilate=INNER_DILATE_XLA, strict=s,
+                        quirk_rw=(1, 1))
+                    return edges
+                return run
+            if not strict:
+                return flood(False)(e_ext)
+            return lax.cond(is_quirk_shard, flood(True), flood(False),
+                            e_ext)
+
+    is_quirk_shard = ((lax.axis_index(Y_AXIS) == 0)
+                      & (lax.axis_index(X_AXIS) == 0))
 
     def body(state):
         e, _ = state
         e_ext = halo_exchange_2d(e, 1, Y_AXIS, X_AXIS)
-        new = local_flood(e_ext)[1:-1, 1:-1]
+        new = local_flood(e_ext, is_quirk_shard)[1:-1, 1:-1]
         changed = lax.psum(jnp.sum((new != e).astype(jnp.int32)),
                            (DATA_AXIS, Y_AXIS, X_AXIS)) > 0
         return new, changed
@@ -450,7 +496,7 @@ def _flood_distributed(weak_p, strong_p, hl: int, wl: int, engine: str,
 
 
 def _canny_shard_static(img, min_val, max_val, *, kernel_vals, H, W,
-                        hl, wl, ny, nx, flood_engine):
+                        hl, wl, ny, nx, flood_engine, strict=False):
     """Full static-engine pipeline on a (bl, hl, wl) local block."""
 
     def one(frame):
@@ -458,7 +504,7 @@ def _canny_shard_static(img, min_val, max_val, *, kernel_vals, H, W,
             frame, min_val, max_val, kernel_vals=kernel_vals, H=H, W=W,
             hl=hl, wl=wl, ny=ny, nx=nx)
         edges_p = _flood_distributed(weak_p, strong_p, hl, wl, flood_engine,
-                                     ny=ny, nx=nx)
+                                     ny=ny, nx=nx, strict=strict)
         return jnp.where(unpack_mask(edges_p, wl), jnp.int16(EDGE),
                          jnp.int16(NOEDGE))
 
@@ -477,11 +523,12 @@ def _canny_shard_static(img, min_val, max_val, *, kernel_vals, H, W,
 # ---------------------------------------------------------------------------
 
 def _canny_shard(img, min_val, max_val, *, kernel_vals, H, W,
-                 hysteresis_steps):
+                 hysteresis_steps, strict=False):
     smoothed = _blur_shard(img, kernel_vals, H, W)
     mag, ang = _sobel_shard(smoothed, H, W)
     nm = _nms_shard(mag, ang, H, W)
-    return _hysteresis_shard(nm, min_val, max_val, H, W, hysteresis_steps)
+    return _hysteresis_shard(nm, min_val, max_val, H, W, hysteresis_steps,
+                             strict=strict)
 
 
 class ShardedCanny:
@@ -504,7 +551,11 @@ class ShardedCanny:
 
     def __init__(self, mesh: Mesh, sigma: float, image_shape: tuple[int, int],
                  hysteresis_steps: int = 8, frontend: str = "auto",
-                 flood: str = "auto"):
+                 flood: str = "auto", hysteresis_mode: str = "component"):
+        if hysteresis_mode not in ("component", "strict-reference"):
+            raise ValueError(f"unknown hysteresis mode: {hysteresis_mode!r}")
+        strict = hysteresis_mode == "strict-reference"
+        self.hysteresis_mode = hysteresis_mode
         self.mesh = mesh
         self.sigma = sigma
         self.kernel = gaussian_kernel(sigma)
@@ -541,7 +592,7 @@ class ShardedCanny:
             fn = functools.partial(
                 _canny_shard_static, kernel_vals=kernel_vals,
                 H=self.H, W=self.W, hl=hl, wl=wl, ny=ny, nx=nx,
-                flood_engine=flood)
+                flood_engine=flood, strict=strict)
         else:
             # round-1 generic geometry: per-shard dims ceil-divided, grown
             # to the widest halo any stage exchanges
@@ -552,7 +603,7 @@ class ShardedCanny:
             self.flood = "generic"
             fn = functools.partial(
                 _canny_shard, kernel_vals=kernel_vals, H=self.H, W=self.W,
-                hysteresis_steps=hysteresis_steps)
+                hysteresis_steps=hysteresis_steps, strict=strict)
         spec = P(DATA_AXIS, Y_AXIS, X_AXIS)
         mapped = jax.shard_map(
             fn, mesh=mesh,

@@ -252,7 +252,7 @@ def test_cli_packed_transfer(tmp_path, test_image):
     (["synthetic:16x16", "1.0", "50", "150", "--packed-transfer",
       "--backend", "golden"], "packed-transfer"),
     (["synthetic:16x16", "1.0", "50", "150", "--packed-transfer",
-      "--hysteresis", "strict-reference"], "packed-transfer"),
+      "--backend", "sharded"], "packed-transfer"),
 ])
 def test_cli_packed_transfer_validation(argv, msg):
     with pytest.raises(SystemExit) as e:
