@@ -114,13 +114,19 @@ def _apply_platform_env() -> None:
             pass  # backend already initialized; nothing to do
 
 
-def open_frames(args):
+def open_frames(args, feeder_stats: dict | None = None):
     """Frame iterator for the CLI input spec.
 
     Supports everything io.video.open_source does, plus ``raw8:PATH:HxW[xN]``
     (headerless uint8 frames read by the C++ ring-buffer feeder) and
     ``--native-feeder`` for synthetic sources (runtime.FrameFeeder —
     producer thread + zero-copy ring buffer instead of per-frame Python).
+
+    ``feeder_stats``: optional dict filled with the native feeder's final
+    counters (produced/consumed/waits/read_errors) when the stream ends —
+    a corrupt frame mid-sequence ends the C++ producer loop, and without
+    these counters a truncated run is indistinguishable from a complete
+    one (VERDICT r3 missing #3).
     """
     from .io import video
 
@@ -138,7 +144,8 @@ def open_frames(args):
         if args.max_frames is not None:
             n = min(n, args.max_frames) if n else args.max_frames
         return _feeder_frames(runtime.FrameFeeder(
-            h, w, mode=runtime.MODE_RAW8, path=path, count=n))
+            h, w, mode=runtime.MODE_RAW8, path=path, count=n),
+            feeder_stats)
     if spec.startswith("synthetic:") and args.native_feeder:
         from . import runtime
 
@@ -149,7 +156,7 @@ def open_frames(args):
             if args.max_frames is not None:
                 n = min(n, args.max_frames)
             return _feeder_frames(runtime.FrameFeeder(
-                h, w, mode=runtime.MODE_SYNTHETIC, count=n))
+                h, w, mode=runtime.MODE_SYNTHETIC, count=n), feeder_stats)
     if os.path.isdir(spec) and args.native_feeder:
         from . import runtime
 
@@ -162,17 +169,23 @@ def open_frames(args):
             h, w = load_grayscale(first_pgm).shape
             n = args.max_frames or 0
             return _feeder_frames(runtime.FrameFeeder(
-                h, w, mode=runtime.MODE_PGM_DIR, path=spec, count=n))
+                h, w, mode=runtime.MODE_PGM_DIR, path=spec, count=n),
+                feeder_stats)
     return video.open_source(spec, args.max_frames)
 
 
-def _feeder_frames(feeder):
+def _feeder_frames(feeder, stats_sink: dict | None = None):
     """Iterate a FrameFeeder, copying each zero-copy view (the view is
     only valid until the next acquire; downstream batching/prefetch is
-    asynchronous)."""
+    asynchronous).  When the stream ends, the feeder's final counters are
+    copied into ``stats_sink`` before the feeder is destroyed."""
     with feeder:
-        for frame in feeder:
-            yield frame.copy()
+        try:
+            for frame in feeder:
+                yield frame.copy()
+        finally:
+            if stats_sink is not None:
+                stats_sink.update(feeder.stats())
 
 
 def build_config(args):
@@ -265,8 +278,9 @@ def main(argv=None) -> int:
     from .io import imageio, video
     from .parallel.streaming import StreamCursor, StreamingRunner
 
+    feeder_stats: dict = {}
     try:
-        frames = open_frames(args)
+        frames = open_frames(args, feeder_stats)
         first = next(iter(frames))
     except FileNotFoundError as e:
         raise SystemExit(f"ERROR: {e}")
@@ -314,13 +328,18 @@ def main(argv=None) -> int:
         "seconds": round(elapsed, 4),
         **rstats.to_dict(),
     }
+    if feeder_stats:
+        stats["feeder"] = feeder_stats
     report = None
     if args.timeit:
         from .utils.timing import profile_stages
 
-        # profile the actual first input frame at its actual size
+        # profile the actual first input frame at its actual size, via the
+        # checksum-slope protocol (block_until_ready wall timing is
+        # untrustworthy in this environment — DESIGN.md §4)
         report = profile_stages(first, cfg.sigma, cfg.min_val, cfg.max_val)
         stats["stages"] = report.json()
+    read_errors = int(feeder_stats.get("read_errors", 0))
     if args.json:
         print(json.dumps(stats))
     else:
@@ -331,6 +350,14 @@ def main(argv=None) -> int:
                  if stats["skipped_batches"] else "") + ")")
     if report is not None:
         print(report.table(), file=sys.stderr)
+    if read_errors:
+        # a corrupt frame ends the C++ producer loop: the stream is
+        # truncated, not complete — report it and fail loudly (the
+        # reference's error story is fprintf+exit(0), src/main.cpp:36;
+        # a silent truncation would be strictly worse)
+        print(f"ERROR: frame source ended early: {read_errors} unreadable "
+              f"frame(s) after {stats['frames']} decoded", file=sys.stderr)
+        return 3
     return 0
 
 

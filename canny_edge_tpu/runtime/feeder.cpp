@@ -77,8 +77,15 @@ void synth_frame(Feeder* f, uint8_t* dst, uint64_t idx) {
 }
 
 bool read_raw_frame(Feeder* f, uint8_t* dst) {
+  if (!f->raw) return false;
   size_t need = static_cast<size_t>(f->h) * f->w;
-  return f->raw && fread(dst, 1, need, f->raw) == need;
+  size_t got = fread(dst, 1, need, f->raw);
+  if (got == need) return true;
+  // a partial frame is a corrupt/truncated source, not a clean EOF —
+  // count it so feeder_stats can distinguish the two (the consumer only
+  // sees "stream ended" either way)
+  if (got != 0) f->read_errors.fetch_add(1, std::memory_order_relaxed);
+  return false;
 }
 
 // Skip whitespace and '#...' comment lines between PGM header tokens (many

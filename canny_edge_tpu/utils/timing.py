@@ -31,9 +31,11 @@ class PipelineReport:
     stages: list[StageStats] = field(default_factory=list)
     total_ms: float = 0.0
     total_mps: float = 0.0
+    protocol: str = "slope"
+    prefix_ms: list[float] = field(default_factory=list)
 
     def table(self) -> str:
-        lines = [f"{'stage':<12}{'ms':>10}{'MP/s':>12}"]
+        lines = [f"{'stage':<12}{'ms':>10}{'MP/s':>12}   [{self.protocol}]"]
         for s in self.stages:
             lines.append(f"{s.name:<12}{s.ms:>10.3f}{s.mps:>12.0f}")
         lines.append(f"{'TOTAL':<12}{self.total_ms:>10.3f}{self.total_mps:>12.0f}")
@@ -45,6 +47,8 @@ class PipelineReport:
             "stages": [vars(s) for s in self.stages],
             "total_ms": self.total_ms,
             "total_mps": self.total_mps,
+            "protocol": self.protocol,
+            "prefix_ms": self.prefix_ms,
         }
 
 
@@ -61,12 +65,20 @@ def _time_call(fn, *args, iters: int = 10, warmup: int = 2) -> float:
 
 
 def profile_stages(img: np.ndarray, sigma: float, min_val: int, max_val: int,
-                   iters: int = 10) -> PipelineReport:
+                   iters: int = 10, protocol: str = "slope") -> PipelineReport:
     """Per-stage timing of the single-chip XLA pipeline on the default device.
 
-    Stages are jitted separately here (so each can be timed); the production
-    pipeline fuses them into one program, so the stage sum is an upper bound
-    on the fused time.
+    ``protocol="slope"`` (default): each stage is the *marginal* cost of
+    appending it to the jitted pipeline prefix — four prefix programs
+    (blur / +sobel / +nms / +hysteresis), each measured with the
+    checksum-slope protocol, which is the only timing DESIGN.md §4 trusts
+    in this environment (``block_until_ready`` wall times suffer execution
+    elision and a slow host link).  Marginal-prefix numbers also reflect
+    what a stage costs *inside the fused production program*, rather than
+    the cost of a stage jitted in isolation with its own HBM round trips.
+
+    ``protocol="wall"``: the legacy per-stage ``block_until_ready`` wall
+    timing (separately jitted stages); reported as ``wall-untrusted``.
     """
     from ..golden.reference import gaussian_kernel
     from ..ops import stages as S
@@ -75,6 +87,60 @@ def profile_stages(img: np.ndarray, sigma: float, min_val: int, max_val: int,
     kernel_vals = tuple(float(v) for v in gaussian_kernel(sigma))
     dev_img = jax.device_put(img)
     mp = img.shape[-2] * img.shape[-1] / 1e6
+    mn, mx = jnp.int32(min_val), jnp.int32(max_val)
+
+    if protocol == "slope":
+        blur = functools.partial(S._gaussian_blur_with_kernel,
+                                 kernel_vals=kernel_vals)
+
+        def p_blur(x, a, b):
+            return blur(x)
+
+        def p_sobel(x, a, b):
+            mag, ang = S.sobel(blur(x))
+            return mag + ang.astype(mag.dtype)  # keep the angle path live
+
+        def p_nms(x, a, b):
+            return S.nonmax_suppression(*S.sobel(blur(x)))
+
+        def p_full(x, a, b):
+            return hysteresis_packed(
+                S.nonmax_suppression(*S.sobel(blur(x))), a, b)
+
+        # Chain sizing: on accelerators use the pixel-planned lengths
+        # (wall estimates are exactly what this protocol distrusts — a
+        # dispatch-dominated estimate undershoots k2 and the slope drowns
+        # in jitter); on CPU wall times are honest, so size from one call
+        # to keep the CLI run ~seconds.
+        if jax.devices()[0].platform == "cpu":
+            full_jit = jax.jit(p_full)
+            jax.block_until_ready(full_jit(dev_img, mn, mx))
+            t0 = time.perf_counter()
+            jax.block_until_ready(full_jit(dev_img, mn, mx))
+            est = max(time.perf_counter() - t0, 1e-5)
+            k2 = int(min(4000, max(20, 0.5 / est)))
+            k1 = max(2, k2 // 20)
+        else:
+            k1, k2 = auto_chain_lengths(int(np.prod(img.shape)))
+
+        names = ("gaussian", "sobel", "nms", "hysteresis")
+        prefix_sec = []
+        for fn in (p_blur, p_sobel, p_nms, p_full):
+            prefix_sec.append(checksum_slope_seconds(
+                fn, dev_img, k1=k1, k2=k2, samples=3,
+                min_val=min_val, max_val=max_val))
+        report = PipelineReport(image_shape=tuple(img.shape),
+                                protocol="slope",
+                                prefix_ms=[round(s * 1e3, 4)
+                                           for s in prefix_sec])
+        prev = 0.0
+        for name, sec in zip(names, prefix_sec):
+            marg = max(sec - prev, 1e-9)
+            report.stages.append(StageStats(name, marg * 1e3, mp / marg))
+            prev = sec
+        report.total_ms = prefix_sec[-1] * 1e3
+        report.total_mps = mp / prefix_sec[-1]
+        return report
 
     blur = jax.jit(functools.partial(S._gaussian_blur_with_kernel,
                                      kernel_vals=kernel_vals))
@@ -85,9 +151,9 @@ def profile_stages(img: np.ndarray, sigma: float, min_val: int, max_val: int,
     sm = blur(dev_img)
     mag, ang = sob(sm)
     nm = nms(mag, ang)
-    mn, mx = jnp.int32(min_val), jnp.int32(max_val)
 
-    report = PipelineReport(image_shape=tuple(img.shape))
+    report = PipelineReport(image_shape=tuple(img.shape),
+                            protocol="wall-untrusted")
     for name, fn, args in [
         ("gaussian", blur, (dev_img,)),
         ("sobel", sob, (sm,)),

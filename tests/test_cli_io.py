@@ -1,5 +1,6 @@
 """CLI + IO layer tests (reference app-layer parity, SURVEY components 1-3)."""
 
+import json
 import os
 import subprocess
 import sys
@@ -230,6 +231,71 @@ def test_cli_pgm_dir_native_feeder(tmp_path):
     got = imageio.load_grayscale(os.path.join(out_dir, pngs[0]))
     np.testing.assert_array_equal(got.astype(np.int16),
                                   golden.hysteresis(nm, 40, 160))
+
+
+def test_cli_pgm_dir_corrupt_frame_exits_nonzero(tmp_path, capsys):
+    """A corrupt PGM mid-sequence must NOT look like a complete run: the
+    CLI exits nonzero, reports the unreadable-frame count on stderr, and
+    surfaces the feeder counters in --json (VERDICT r3 missing #3)."""
+    from canny_edge_tpu import runtime
+
+    if not runtime.available():
+        pytest.skip("native feeder unavailable")
+    h, w = 16, 24
+    rng = np.random.default_rng(2)
+    src = tmp_path / "pgms"
+    src.mkdir()
+    with open(src / "frame_000000.pgm", "wb") as fh:
+        fh.write(f"P5\n{w} {h}\n255\n".encode())
+        fh.write(rng.integers(0, 256, size=(h, w), dtype=np.uint8).tobytes())
+    (src / "frame_000001.pgm").write_bytes(b"P6 not actually a pgm")
+    out_dir = str(tmp_path / "out")
+    rc = cli_main([str(src), "1.0", "40", "160", "--backend", "golden",
+                   "--native-feeder", "--out-dir", out_dir, "--json"])
+    assert rc == 3
+    captured = capsys.readouterr()
+    stats = json.loads(captured.out)
+    assert stats["feeder"]["read_errors"] == 1
+    assert stats["frames"] == 1
+    assert "1 unreadable frame(s)" in captured.err
+
+
+def test_cli_raw8_truncated_exits_nonzero(tmp_path, capsys):
+    """A raw8 stream ending mid-frame is a truncated source, not a clean
+    EOF: read_errors counts it and the CLI fails loudly."""
+    from canny_edge_tpu import runtime
+
+    if not runtime.available():
+        pytest.skip("native feeder unavailable")
+    h, w = 16, 24
+    rng = np.random.default_rng(3)
+    raw = tmp_path / "frames.raw8"
+    data = rng.integers(0, 256, size=(2, h, w), dtype=np.uint8).tobytes()
+    raw.write_bytes(data[:len(data) - 100])  # second frame truncated
+    out_dir = str(tmp_path / "out")
+    rc = cli_main([f"raw8:{raw}:{h}x{w}", "1.0", "40", "160",
+                   "--backend", "golden", "--out-dir", out_dir, "--json"])
+    assert rc == 3
+    captured = capsys.readouterr()
+    stats = json.loads(captured.out)
+    assert stats["feeder"]["read_errors"] == 1
+    assert stats["frames"] == 1
+
+
+def test_cli_native_feeder_stats_in_json(tmp_path, capsys):
+    """A clean native-feeder run reports its counters in --json."""
+    from canny_edge_tpu import runtime
+
+    if not runtime.available():
+        pytest.skip("native feeder unavailable")
+    out_dir = str(tmp_path / "out")
+    rc = cli_main(["synthetic:16x24x3", "1.0", "40", "160",
+                   "--backend", "golden", "--native-feeder",
+                   "--out-dir", out_dir, "--json"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["feeder"]["read_errors"] == 0
+    assert stats["feeder"]["produced"] == 3
 
 
 def test_cli_packed_transfer(tmp_path, test_image):
