@@ -22,7 +22,12 @@ class CannyConfig:
     # execution
     backend: str = "fused"            # fused | xla | pallas | sharded | golden
     hysteresis_mode: str = "component"  # component | strict-reference
-    hysteresis_steps: int = 8         # dilations per convergence check (xla)
+    # (no hysteresis_steps knob here: every production engine converges
+    # with tuned inner-dilation counts, utils/constants.py — a config
+    # field the backends ignore invites misuse.  The per-model knobs that
+    # DO act — CannyTPU.hysteresis_steps for the with_intermediates
+    # observability path, ShardedCanny(hysteresis_steps=...) for the
+    # generic mesh engine's round width — live on those constructors.)
     tile: tuple[int, int] = (128, 512)  # pallas VMEM tile
 
     # batching / sharding

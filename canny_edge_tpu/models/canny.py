@@ -172,6 +172,13 @@ class CannyTPU:
 
     sigma is static (determines the blur window / compiled stencil);
     min_val/max_val are traced, so retuning thresholds does not recompile.
+
+    ``hysteresis_steps`` affects ONLY the ``with_intermediates``
+    observability path (dilations per convergence check of the unpacked
+    engine, whose step count it also reports).  The production backends
+    (fused/xla/pallas) converge with tuned inner-dilation counts
+    (utils/constants.py) and never read it — results are identical either
+    way, so this knob is granularity-of-reporting, not behavior.
     """
 
     sigma: float = 1.0
