@@ -22,13 +22,16 @@ class CannyConfig:
     # execution
     backend: str = "fused"            # fused | xla | pallas | sharded | golden
     hysteresis_mode: str = "component"  # component | strict-reference
-    # (no hysteresis_steps knob here: every production engine converges
-    # with tuned inner-dilation counts, utils/constants.py — a config
-    # field the backends ignore invites misuse.  The per-model knobs that
-    # DO act — CannyTPU.hysteresis_steps for the with_intermediates
-    # observability path, ShardedCanny(hysteresis_steps=...) for the
-    # generic mesh engine's round width — live on those constructors.)
-    tile: tuple[int, int] = (128, 512)  # pallas VMEM tile
+    # (no hysteresis_steps or tile knob here: every production engine
+    # converges with tuned inner-dilation counts and auto-sized VMEM
+    # tiles, utils/constants.py — a config field the backends ignore
+    # invites misuse.  The per-model knobs that DO act —
+    # CannyTPU.hysteresis_steps for the with_intermediates observability
+    # path, ShardedCanny(hysteresis_steps=...) for the generic mesh
+    # engine's round width, the kernels' tile= parameters for tests and
+    # sweeps — live on those constructors/functions.
+    # tests/test_config.py::test_every_config_field_has_a_reader keeps
+    # this invariant mechanical.)
 
     # batching / sharding
     batch_size: int = 1
