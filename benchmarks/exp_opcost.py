@@ -201,7 +201,7 @@ def main():
     other = (r14.get("movement", 0) + r14.get("convert", 0)
              + r14.get("reduce", 0))
     floor_s = (r14["alu"] * PX / alu_rate + other * PX / mov_rate)
-    actual = r14["ms"] * 1e-3
+    actual = max(r14["ms"] * 1e-3, 1e-9)
     print(f"  audited mix: alu {r14['alu']:.1f} + other {other:.1f} op/px")
     print(f"  floor {floor_s * 1e3:.4f} ms  actual {actual * 1e3:.4f} ms  "
           f"-> {100 * floor_s / actual:.1f}% of two-bucket floor",
