@@ -98,20 +98,33 @@ def test_hlo_opcount_audit():
 
 
 def test_roofline_audited_override():
-    """stage_rooflines uses the HLO-audited ALU count for the compute
-    floor when provided, and embeds the bucket breakdown in the row."""
-    from canny_edge_tpu.utils.roofline import stage_rooflines
+    """stage_rooflines derives the compute floor from the HLO-audited op
+    mix when provided — as the two-bucket floor (measured alu + movement
+    element rates, exp_opcost_results.json) on chips with measured rates,
+    as audited-alu at the paper VPU rate otherwise — and embeds the bucket
+    breakdown in the row."""
+    from canny_edge_tpu.utils.roofline import (MEASURED_ELEM_RATES,
+                                               stage_rooflines)
 
     audited = {"frontend": {"buckets": {"alu": 140.0, "movement": 90.0}}}
     rows = stage_rooflines(1_000_000, {"frontend": 1e-3}, "TPU v5 lite",
                            backend="fused", audited_ops=audited)
     (row,) = rows
-    assert row["ops_per_px_source"] == "hlo_audit_alu"
+    assert row["floor_model"] == "two_bucket_measured_rates"
     assert row["hlo_audit"]["alu"] == 140.0
-    # floor derived from 140 ops/px, not the hand model's 110
-    expect_ms = 140.0 * 1_000_000 / 3.85e12 * 1e3
+    rates = MEASURED_ELEM_RATES["TPU v5 lite"]
+    expect_ms = (140.0 * 1_000_000 / rates["alu"]
+                 + 90.0 * 1_000_000 / rates["movement"]) * 1e3
     assert abs(row["compute_sol_ms"] - round(expect_ms, 4)) < 1e-6
+    assert row["elem_rates_TopsS"]["alu"] == round(rates["alu"] / 1e12, 3)
+    # chip with no measured rates: audited-alu floor at the paper VPU rate
+    (rowv4,) = stage_rooflines(1_000_000, {"frontend": 1e-3}, "TPU v4",
+                               backend="fused", audited_ops=audited)
+    assert rowv4["floor_model"] == "hlo_audit_alu"
+    expect_v4 = 140.0 * 1_000_000 / 4.3e12 * 1e3
+    assert abs(rowv4["compute_sol_ms"] - round(expect_v4, 4)) < 1e-6
     # without the audit the hand model is used and no audit block appears
     (row2,) = stage_rooflines(1_000_000, {"frontend": 1e-3}, "TPU v5 lite",
                               backend="fused")
     assert "hlo_audit" not in row2 and row2["est_ops_per_px"] == 110
+    assert row2["floor_model"] == "hand_modeled_alu"
