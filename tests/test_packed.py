@@ -189,6 +189,36 @@ def test_flood_kernel_layouts_agree(shape):
     np.testing.assert_array_equal(run("rows"), ref)
 
 
+@pytest.mark.parametrize("inner", [1, 2, 5, 19, 33])
+def test_flood_inner_dilate_invariance(inner):
+    """The flood's fixed point is independent of ``inner_dilate`` — the
+    knob trades dilations-per-round against while-loop rounds, never the
+    result (guards retunes like the round-5 10->19 change; the production
+    value is picked by benchmarks/exp_flood5b.py, not by semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from canny_edge_tpu.kernels.hysteresis_packed import (
+        hysteresis_packed_pallas_masks)
+    from canny_edge_tpu.ops.packed import pack_mask, unpack_mask
+
+    H, W = 48, 170
+    rng = np.random.default_rng(7)
+    nm = rng.integers(0, 200, size=(H, W)).astype(np.int16)
+    nm[rng.random((H, W)) < 0.05] = 190
+    mn, mx = 40, 160
+    ref = golden.hysteresis(nm, mn, mx)
+
+    def f(x):
+        w = pack_mask(x >= mn)
+        s = pack_mask(x >= mx)
+        e = hysteresis_packed_pallas_masks(w, s, H, W, inner_dilate=inner)
+        return jnp.where(unpack_mask(e, W), jnp.int16(255), jnp.int16(0))
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(f)(jnp.asarray(nm, jnp.int32))), ref)
+
+
 def test_flood_vmem_capacity_guard():
     """Over-VMEM shapes dispatch to the XLA packed flood automatically.
 
