@@ -21,6 +21,16 @@ if os.environ.get("CANNY_TPU_TEST_PLATFORM", "cpu") == "cpu":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+else:
+    # Real-TPU runs compile hundreds of distinct Mosaic/XLA programs; the
+    # persistent cache (shared with bench.py) makes the suite rerunnable
+    # in minutes instead of hours on targets with remote-compile latency.
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
