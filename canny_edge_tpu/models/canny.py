@@ -48,7 +48,8 @@ def canny_fn(img, min_val, max_val, *, kernel_vals, hysteresis_steps=4,
     its BFS bounds quirk).  Since round 4 strict mode runs on the SAME
     production engines as component mode — the quirk is one masked bit in
     word 0 of rows 0/1 of the packed flood (ops.packed.strict_fix_packed)
-    — at ~zero cost, instead of the round-3 unpacked-dilation detour.
+    — at measured zero cost (0.202 ms both modes at 1080p, strict row in
+    docs/bench_run_all_r5.json), not the round-3 unpacked-dilation detour.
     """
     if hysteresis_mode not in ("component", "strict-reference"):
         raise ValueError(f"unknown hysteresis mode: {hysteresis_mode!r}")
