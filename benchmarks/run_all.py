@@ -130,10 +130,23 @@ def main():
                 fe = lambda x, mn, mx: frontend_nm_xla(  # noqa: E731
                     x, kv(1.4))
             fe_sec = steady_state(fe, im, k=60 if args.quick else None)
+            audited = {}
+            try:
+                from canny_edge_tpu.utils.opcount import audit_compiled
+
+                audited["frontend"] = audit_compiled(
+                    fe, im, jnp.int32(30), jnp.int32(90), pixels=im.size)
+                if b == "fused":
+                    from bench import _audit_hysteresis
+
+                    audited["hysteresis"] = _audit_hysteresis(
+                        jax.device_put(im), kv(1.4), *im.shape)
+            except Exception as e:
+                log(f"[2] {b} hlo audit skipped: {type(e).__name__}: {e}")
             entry["roofline"] = stage_rooflines(
                 im.size, {"frontend": fe_sec,
                           "hysteresis": max(sec - fe_sec, 1e-9)},
-                dev.device_kind, backend=b)
+                dev.device_kind, backend=b, audited_ops=audited)
         except Exception as e:
             log(f"[2] {b} roofline failed: {type(e).__name__}: {e}")
         results["configs"].append(entry)
