@@ -279,10 +279,15 @@ def main():
         # mixes (utils.opcount) so the roofline cannot drift from the code
         audited = {}
         try:
-            from canny_edge_tpu.utils.opcount import audit_compiled
+            # pallas frontends live inside Mosaic custom calls the HLO
+            # audit cannot see; auditing the wrapper would yield a
+            # near-zero bogus floor, so only XLA frontends are audited
+            if backend in ("fused", "xla"):
+                from canny_edge_tpu.utils.opcount import audit_compiled
 
-            audited["frontend"] = audit_compiled(
-                fe, img_dev, jnp.int32(30), jnp.int32(90), pixels=H * W)
+                audited["frontend"] = audit_compiled(
+                    fe, img_dev, jnp.int32(30), jnp.int32(90),
+                    pixels=H * W)
         except Exception as e:
             log(f"hlo audit skipped: {type(e).__name__}: {e}")
         if backend == "fused":

@@ -128,3 +128,37 @@ def test_roofline_audited_override():
                               backend="fused")
     assert "hlo_audit" not in row2 and row2["est_ops_per_px"] == 110
     assert row2["floor_model"] == "hand_modeled_alu"
+
+
+def test_bench_hysteresis_audit_composition():
+    """bench._audit_hysteresis: the flood kernel's round body audits
+    standalone and composes with a runtime-measured trip count — the
+    machinery that replaced the hand-modeled hysteresis floor
+    (VERDICT r4 weak #6).  Small shape, CPU."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import jax
+
+    from bench import _audit_hysteresis, make_image
+    from canny_edge_tpu.golden.reference import gaussian_kernel
+
+    kv = tuple(float(v) for v in gaussian_kernel(1.4))
+    img = jax.device_put(make_image(128, 256))
+    aud = _audit_hysteresis(img, kv, 128, 256)
+    # a synthetic textured frame reaches its fixed point in >= 2 trips,
+    # and the composed buckets must contain real alu + movement work
+    assert aud["while_trips"] >= 2
+    assert aud["buckets"]["alu"] > 1.0
+    assert aud["buckets"]["movement"] > 0.5
+    assert aud["composition"].startswith("trips*")
+    # and it must plug into the two-bucket roofline
+    from canny_edge_tpu.utils.roofline import stage_rooflines
+
+    (row,) = stage_rooflines(128 * 256, {"hysteresis": 1e-5},
+                             "TPU v5 lite", backend="fused",
+                             audited_ops={"hysteresis": aud})
+    assert row["floor_model"] == "two_bucket_measured_rates"
+    assert row["sol_ms"] > 0
