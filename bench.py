@@ -107,7 +107,7 @@ def _audit_hysteresis(img_dev, kernel_vals, H, W, min_val=30, max_val=90):
     from canny_edge_tpu.utils.constants import INNER_DILATE_VMEM
     from canny_edge_tpu.utils.opcount import audit_hlo_text
 
-    wd = -(-W // 32)
+    wd = pk.cdiv(W, 32)
     tsh = jax.ShapeDtypeStruct((wd, H), jnp.uint32)   # transposed masks
     msh = jax.ShapeDtypeStruct((H, wd), jnp.uint32)   # natural masks
 

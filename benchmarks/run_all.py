@@ -20,6 +20,7 @@ import argparse
 import functools
 import json
 import os
+import re
 import sys
 import time
 
@@ -131,25 +132,33 @@ def main():
                     x, kv(1.4))
             fe_sec = steady_state(fe, im, k=60 if args.quick else None)
             audited = {}
-            try:
-                # The pallas backend's work lives inside Mosaic custom
-                # calls the HLO audit cannot see — auditing its wrapper
-                # would produce a near-zero, meaningless floor — so only
-                # the XLA-frontend backends are audited; pallas keeps the
-                # hand-modeled floor (its comparison role needs no more).
-                if b in ("fused", "xla"):
+            # The pallas backend's work lives inside Mosaic custom
+            # calls the HLO audit cannot see — auditing its wrapper
+            # would produce a near-zero, meaningless floor — so only
+            # the XLA-frontend backends are audited; pallas keeps the
+            # hand-modeled floor (its comparison role needs no more).
+            # The two audits fail independently (separate try blocks,
+            # as in bench.py): a frontend-audit error must not drop the
+            # hysteresis floor too.
+            if b in ("fused", "xla"):
+                try:
                     from canny_edge_tpu.utils.opcount import audit_compiled
 
                     audited["frontend"] = audit_compiled(
                         fe, im, jnp.int32(30), jnp.int32(90),
                         pixels=im.size)
-                if b == "fused":
+                except Exception as e:
+                    log(f"[2] {b} fe audit skipped: "
+                        f"{type(e).__name__}: {e}")
+            if b == "fused":
+                try:
                     from bench import _audit_hysteresis
 
                     audited["hysteresis"] = _audit_hysteresis(
                         jax.device_put(im), kv(1.4), *im.shape)
-            except Exception as e:
-                log(f"[2] {b} hlo audit skipped: {type(e).__name__}: {e}")
+                except Exception as e:
+                    log(f"[2] {b} hyst audit skipped: "
+                        f"{type(e).__name__}: {e}")
             entry["roofline"] = stage_rooflines(
                 im.size, {"frontend": fe_sec,
                           "hysteresis": max(sec - fe_sec, 1e-9)},
@@ -354,7 +363,9 @@ def main():
     import glob
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ws_paths = sorted(glob.glob(os.path.join(repo, "WEAK_SCALING_r*.json")))
+    ws_paths = sorted(
+        glob.glob(os.path.join(repo, "WEAK_SCALING_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
     if ws_paths:
         with open(ws_paths[-1]) as f:
             results["weak_scaling"] = json.load(f)

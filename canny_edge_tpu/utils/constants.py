@@ -69,13 +69,14 @@ def kernel_vmem_limit(device_kind: str | None = None) -> int:
 # Dilations per round in the VMEM-resident transposed-layout Pallas flood
 # kernel (kernels/hysteresis_packed.py).  Re-tuned in round 5 on the
 # current kernel body (transposed layout + strict-fix-capable dilations):
-# 19 is the smallest value that converges in 2 while-loop trips on the
-# benchmark frames — every extra dilation past that is waste, every
-# dilation fewer pays a whole extra round.  Measured full-pipeline:
-# 0.2076 ms @ 1080p / 0.774 ms @ 4K vs 0.2131 / 0.797 at the round-2
-# value of 10 (benchmarks/exp_flood5_results.json, exp_flood5b_results
-# .json; in-word-hflood / capped-vflood round bodies measured within
-# noise of this and not adopted).
+# 18+ converges in 2 while-loop trips on the benchmark frames (17 and
+# below pays a whole extra round), and 19 is the sweep minimum — the
+# exp_flood5b picker takes the smallest inner within 1% of the fastest,
+# which is 19 itself (18: 0.2100 ms, 19: 0.2076, 20: 0.2081 full
+# pipeline @ 1080p; 4K 0.774 vs 0.797 at the round-2 value of 10 —
+# benchmarks/exp_flood5_results.json, exp_flood5b_results.json;
+# in-word-hflood / capped-vflood round bodies measured within noise and
+# not adopted).
 INNER_DILATE_VMEM = 19
 
 # Dilations per round in the XLA packed flood (ops/packed.py), whose

@@ -180,15 +180,20 @@ def stage_rooflines(pixels: int, measured_seconds: dict[str, float],
         mem = s.mem_seconds(pixels, bw)
         comp = s.ops_per_pixel * pixels / vpu
         floor_model = "hand_modeled_alu"
-        if audit and audit.get("buckets", {}).get("alu"):
-            two = two_bucket_floor_seconds(audit["buckets"], pixels,
-                                           device_kind)
+        buckets = (audit or {}).get("buckets") or {}
+        # any nonzero bucket counts as a usable audit: a stage can be
+        # movement-only (relayout/unpack dominated) with alu == 0, and
+        # the two-bucket floor exists precisely to price those ops
+        if sum(buckets.values()) > 0:
+            two = two_bucket_floor_seconds(buckets, pixels, device_kind)
             if two is not None:
                 comp = two
                 floor_model = "two_bucket_measured_rates"
-            else:
-                comp = audit["buckets"]["alu"] * pixels / vpu
+            elif buckets.get("alu"):
+                comp = buckets["alu"] * pixels / vpu
                 floor_model = "hlo_audit_alu"
+        else:
+            audit = None  # empty audit: report the hand model honestly
         floor = max(mem, comp)
         row = {
             "stage": name,

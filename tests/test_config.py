@@ -18,6 +18,10 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "canny_edge_tpu"
 
 
 def test_every_config_field_has_a_reader():
+    # the reader must be an attribute access on a config-typed receiver
+    # (every production reader binds the instance as `cfg`/`config`) —
+    # a bare `.field` match would also count argparse-namespace accesses
+    # and docstring mentions, letting a genuinely dead field pass
     source = "\n".join(
         p.read_text()
         for p in PKG.rglob("*.py")
@@ -26,7 +30,8 @@ def test_every_config_field_has_a_reader():
     missing = [
         f.name
         for f in dataclasses.fields(CannyConfig)
-        if not re.search(rf"\.{re.escape(f.name)}\b", source)
+        if not re.search(rf"\b(?:cfg|config)\.{re.escape(f.name)}\b",
+                         source)
     ]
     assert not missing, (
         f"CannyConfig fields with no reader in the package: {missing} — "
