@@ -91,5 +91,7 @@ INNER_DILATE_XLA = 4
 # set is <= 28 arrays; 16K (16.6 MB/array) does not finish compiling in
 # 6+ minutes.  24 admits 8K (99.5 MB) and dispatches 16K (398 MB) to the
 # HBM-streaming XLA flood instead of hitting the compile cliff
-# (VERDICT r2 weak #5).
+# (VERDICT r2 weak #5).  Re-validated after the round-5 inner_dilate=19
+# retune (more fori trips, same live set): 8K compiles in ~70 s and runs
+# bit-exact end to end.
 FLOOD_LIVE_WORD_ARRAYS = 24
