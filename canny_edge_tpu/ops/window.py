@@ -40,6 +40,27 @@ _NMS_OOB = -32768
 _DIV_CONCAT_AXES: frozenset = frozenset()
 _PAD_F32: bool = True
 
+# Tap-read mechanism for frontend_nm_static's blur accumulations
+# (benchmarks/exp_taps.py): "slice" (production), "roll_x" (x-pass taps
+# via jnp.roll — value-identical: the wrapped elements land beyond the
+# cropped width whenever lo + n <= padded width, which holds for every
+# in-bounds tap), "roll_xy" (both passes).  exp_opcost2.py measured roll
+# ~10%/tap cheaper than lane slices in isolation; exp_taps.py measures
+# it on the real frontend.
+_TAP_MECHANISM: str = "slice"
+
+
+def _tap_cols(x, lo: int, n: int):
+    if _TAP_MECHANISM in ("roll_x", "roll_xy") and 0 <= lo:
+        return jnp.roll(x, -lo, axis=1)[:, :n]
+    return x[:, lo:lo + n]
+
+
+def _tap_rows(x, lo: int, n: int):
+    if _TAP_MECHANISM == "roll_xy" and 0 <= lo:
+        return jnp.roll(x, -lo, axis=0)[:n, :]
+    return x[lo:lo + n, :]
+
 
 def _nms_maxc(gxc, gyc, m0, nb):
     """Max-cascade NMS tail: ``keep = m0 > max(direction neighbour pair)``.
@@ -459,7 +480,7 @@ def frontend_nm_static(x, row0: int, nrows: int, H: int, W: int,
     # global col g taps x cols [g + r - c, g + r + c]
     acc = jnp.zeros((x.shape[0], W), jnp.float32)
     for t in range(window):
-        acc = acc + mul_const_f32(x[:, r - c + t:r - c + t + W], kernel[t])
+        acc = acc + mul_const_f32(_tap_cols(x, r - c + t, W), kernel[t])
     temp = _split_div_static(acc, _host_cnt(0, W, W, kernel), s, axis=1)
 
     # ---- blur y pass: sm rows [sm_lo, sm_hi) = [row0-2, row0+nrows+2)
@@ -471,7 +492,7 @@ def frontend_nm_static(x, row0: int, nrows: int, H: int, W: int,
     t0 = sm_lo - row0 + r - c
     acc = jnp.zeros((nsm, W), jnp.float32)
     for t in range(window):
-        acc = acc + mul_const_f32(temp[t0 + t:t0 + t + nsm, :], kernel[t])
+        acc = acc + mul_const_f32(_tap_rows(temp, t0 + t, nsm), kernel[t])
     # floor fuses into the division pieces (the round-3 program
     # materialized a separate full-size floor array).  sm stays f32:
     # narrowing it to uint8 was measured SLOWER (0.158 -> 0.210 ms) — the

@@ -57,6 +57,18 @@ DEFAULT_VPU = 3.85e12
 # movement/convert ops/px of the 1080p frontend and called 43.6% "waste";
 # against the two-bucket floor the same program measures ~106% (movement
 # partially fuses into addressing, so the floor is slightly conservative).
+#
+# Movement is not one rate: per-idiom probes (exp_opcost2.py) measure
+# lane-axis slice shifts at 1.79, jnp.roll at 2.61, and sublane(row)
+# shifts at 7.46 T elem-ops/s — lane-crossing relayout is the expensive
+# class.  The committed movement rate is the lane rate, matching the
+# frontend's dominant movement (x-pass taps, NMS column neighbours,
+# lane-dim packing), which makes the floor an upper bound; charging a
+# half-lane/half-sublane mix instead would put the 1080p frontend at
+# ~78% of floor — either way comfortably past the >=70%-of-defensible-
+# floor bar, so the structural-plateau conclusion does not depend on the
+# idiom attribution.  (Swapping the tap mechanism itself was measured a
+# wash in the fused program: exp_taps.py, slice vs roll within 0.3%.)
 MEASURED_ELEM_RATES = {
     "TPU v5 lite": {"alu": 4.93e12, "movement": 1.776e12},
 }
